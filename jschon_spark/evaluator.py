@@ -1,0 +1,570 @@
+"""From-scratch JSON Schema 2020-12 evaluator (driver + Arrow-batch kernel).
+
+This is the semantic core the Spark lowerings must agree with. It
+reproduces *what* jschon computes — keyword semantics, per-document
+verdicts, JSON-pointer-addressed violations (the ``basic`` output
+format, /root/reference/jschon/output.py:46-70) — with a completely
+different shape: a closed-form recursive function over plain dicts, no
+per-keyword object graph, designed to be called once per document
+inside a vectorized Arrow batch (lowering/batch.py) or as the pytest
+oracle.
+
+Semantics cross-checked against the reference:
+  * type tags: bool before int, number covers int|float
+    (/root/reference/jschon/json.py:120-151)
+  * ``integer`` accepts whole floats
+    (/root/reference/jschon/vocabulary/validation.py:40-41)
+  * deep equality with cross-type numeric equality, bool ≠ number
+    (/root/reference/jschon/json.py:277-289)
+  * multipleOf in exact decimal arithmetic
+    (/root/reference/jschon/vocabulary/validation.py:66-75)
+  * contains/minContains/maxContains annotation coupling
+    (/root/reference/jschon/vocabulary/validation.py:180-212)
+  * unevaluated* driven by annotation coverage incl. through $ref and
+    if/then/else (/root/reference/jschon/vocabulary/applicator.py:190-245,346-390)
+  * $dynamicRef rebinds to the outermost dynamic-scope $dynamicAnchor
+    (/root/reference/jschon/vocabulary/core.py:121-169)
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Any, Callable
+
+from jschon_spark.schema.catalog import (
+    SchemaCatalog,
+    pointer_escape,
+)
+
+# --------------------------------------------------------------------------
+# JSON type model
+# --------------------------------------------------------------------------
+
+def json_type(value: Any) -> str:
+    if value is None:
+        return "null"
+    if isinstance(value, bool):  # bool BEFORE int: true is not a number
+        return "boolean"
+    if isinstance(value, (int, float)):
+        return "number"
+    if isinstance(value, str):
+        return "string"
+    if isinstance(value, list):
+        return "array"
+    if isinstance(value, dict):
+        return "object"
+    raise TypeError(f"not a JSON value: {type(value)}")
+
+
+def matches_type(value: Any, t: str) -> bool:
+    jt = json_type(value)
+    if t == "integer":
+        if jt != "number":
+            return False
+        return float(value) == int(value)
+    return jt == t
+
+
+def json_equal(a: Any, b: Any) -> bool:
+    """Deep equality: 1 == 1.0, but true != 1; objects by key set."""
+    ta, tb = json_type(a), json_type(b)
+    if ta != tb:
+        return False
+    if ta == "number":
+        return float(a) == float(b)
+    if ta == "array":
+        return len(a) == len(b) and all(json_equal(x, y) for x, y in zip(a, b))
+    if ta == "object":
+        return a.keys() == b.keys() and all(json_equal(v, b[k]) for k, v in a.items())
+    return a == b
+
+
+def _dec(x: Any) -> Decimal:
+    return Decimal(repr(x) if isinstance(x, float) else str(x))
+
+
+# --------------------------------------------------------------------------
+# format registry (assertion optional, annotation-only by default —
+# /root/reference/jschon/vocabulary/format.py:14-32)
+# --------------------------------------------------------------------------
+
+def _fmt_json_pointer(v: str) -> bool:
+    # RFC 6901: empty, or '/'-led tokens with '~' only as ~0/~1
+    return re.fullmatch(r"(/([^~/]|~[01])*)*", v) is not None
+
+
+def _fmt_ipv4(v: str) -> bool:
+    try:
+        ipaddress.IPv4Address(v)
+        return True
+    except ValueError:
+        return False
+
+
+def _fmt_ipv6(v: str) -> bool:
+    try:
+        ipaddress.IPv6Address(v)
+        return True
+    except ValueError:
+        return False
+
+
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_TIME_RE = re.compile(
+    r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+)
+_DATETIME_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+)
+_UUID_RE = re.compile(
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+def _fmt_date(v: str) -> bool:
+    if not _DATE_RE.match(v):
+        return False
+    try:
+        import datetime
+
+        datetime.date.fromisoformat(v)
+        return True
+    except ValueError:
+        return False
+
+
+FORMAT_VALIDATORS: dict[str, tuple[Callable[[Any], bool], tuple[str, ...]]] = {
+    # name -> (validator, instance types it applies to)
+    "json-pointer": (_fmt_json_pointer, ("string",)),
+    "ipv4": (_fmt_ipv4, ("string",)),
+    "ipv6": (_fmt_ipv6, ("string",)),
+    "date": (_fmt_date, ("string",)),
+    "time": (lambda v: bool(_TIME_RE.match(v)), ("string",)),
+    "date-time": (lambda v: bool(_DATETIME_RE.match(v)), ("string",)),
+    "uuid": (lambda v: bool(_UUID_RE.match(v)), ("string",)),
+    "regex": (lambda v: _is_regex(v), ("string",)),
+    "uri": (lambda v: bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", v)), ("string",)),
+}
+
+
+def _is_regex(v: str) -> bool:
+    try:
+        re.compile(v)
+        return True
+    except re.error:
+        return False
+
+
+# --------------------------------------------------------------------------
+# outcome model (≅ jschon Result tree flattened to the basic format)
+# --------------------------------------------------------------------------
+
+@dataclass
+class Violation:
+    keyword: str
+    instance_path: str
+    keyword_path: str
+    error: str
+
+
+@dataclass
+class Outcome:
+    valid: bool
+    errors: list[Violation] = field(default_factory=list)
+    # annotation coverage at the CURRENT instance location, used by
+    # unevaluatedItems/unevaluatedProperties (item coverage is tracked
+    # as concrete indices — we always enumerate the actual instance)
+    evaluated_props: set = field(default_factory=set)
+    evaluated_items: set = field(default_factory=set)
+
+
+_IN_PLACE = ("$ref", "$dynamicRef", "allOf", "anyOf", "oneOf",
+             "if", "then", "else", "dependentSchemas", "not")
+
+
+class Evaluator:
+    """Evaluate instances against schemas registered in a SchemaCatalog."""
+
+    def __init__(
+        self,
+        catalog: SchemaCatalog | None = None,
+        assert_formats: bool = False,
+        format_validators: dict | None = None,
+    ) -> None:
+        self.catalog = catalog or SchemaCatalog()
+        self.assert_formats = assert_formats
+        self.formats = dict(FORMAT_VALIDATORS)
+        if format_validators:
+            self.formats.update(format_validators)
+        self._pattern_cache: dict[str, re.Pattern] = {}
+
+    # -- public API ------------------------------------------------------
+    def validate(self, schema: Any, instance: Any, uri: str | None = None) -> Outcome:
+        base = self.catalog.register(schema, uri)
+        return self._eval(schema, instance, base, [base], "", "")
+
+    # -- helpers ----------------------------------------------------------
+    def _pat(self, pattern: str) -> re.Pattern:
+        p = self._pattern_cache.get(pattern)
+        if p is None:
+            p = self._pattern_cache[pattern] = re.compile(pattern)
+        return p
+
+    # -- core recursive evaluation ----------------------------------------
+    def _eval(
+        self,
+        schema: Any,
+        instance: Any,
+        base_uri: str,
+        dynamic_scope: list[str],
+        ipath: str,
+        kpath: str,
+    ) -> Outcome:
+        if isinstance(schema, bool):
+            if schema:
+                return Outcome(True)
+            # attribute the failure to the keyword holding the false schema
+            kw = kpath.rsplit("/", 1)[-1] if kpath else ""
+            return Outcome(
+                False,
+                [Violation(kw, ipath, kpath, "boolean schema false permits nothing")],
+            )
+        if not isinstance(schema, dict):
+            raise TypeError(f"schema must be bool or object at {kpath!r}")
+
+        # entering a schema object with $id = entering a resource:
+        # push onto the dynamic scope
+        if isinstance(schema.get("$id"), str):
+            from urllib.parse import urljoin
+
+            new_base = urljoin(base_uri, schema["$id"]).split("#", 1)[0]
+            base_uri = new_base
+        if not dynamic_scope or dynamic_scope[-1] != base_uri:
+            dynamic_scope = dynamic_scope + [base_uri]
+
+        out = Outcome(True)
+        jt = json_type(instance)
+
+        def err(keyword: str, msg: str) -> None:
+            out.valid = False
+            out.errors.append(
+                Violation(keyword, ipath, f"{kpath}/{keyword}", msg)
+            )
+
+        def sub(
+            subschema: Any, subinstance: Any, kw_suffix: str, i_suffix: str = ""
+        ) -> Outcome:
+            return self._eval(
+                subschema,
+                subinstance,
+                base_uri,
+                dynamic_scope,
+                ipath + i_suffix,
+                f"{kpath}/{kw_suffix}",
+            )
+
+        def absorb(o: Outcome, keyword: str, msg: str | None = None) -> None:
+            """Merge a failed in-place child: record its errors."""
+            out.valid = False
+            if msg:
+                out.errors.append(
+                    Violation(keyword, ipath, f"{kpath}/{keyword}", msg)
+                )
+            out.errors.extend(o.errors)
+
+        def merge_annotations(o: Outcome) -> None:
+            if o.valid:
+                out.evaluated_props |= o.evaluated_props
+                out.evaluated_items |= o.evaluated_items
+
+        # ---- $ref / $dynamicRef (in-place, annotations pass through) ---
+        if "$ref" in schema:
+            target, tbase = self.catalog.resolve(schema["$ref"], base_uri)
+            o = self._eval(target, instance, tbase, dynamic_scope, ipath, f"{kpath}/$ref")
+            merge_annotations(o)
+            if not o.valid:
+                absorb(o, "$ref")
+
+        if "$dynamicRef" in schema:
+            ref = schema["$dynamicRef"]
+            target, tbase = self.catalog.resolve(ref, base_uri)
+            frag = ref.split("#", 1)[1] if "#" in ref else ""
+            # rebind only if the initial target is itself a $dynamicAnchor
+            if (
+                frag
+                and not frag.startswith("/")
+                and isinstance(target, dict)
+                and target.get("$dynamicAnchor") == frag
+            ):
+                for scope_base in dynamic_scope:  # outermost first
+                    cand = self.catalog.dynamic_anchor(scope_base, frag)
+                    if cand is not None:
+                        target, tbase = cand, scope_base
+                        break
+            o = self._eval(target, instance, tbase, dynamic_scope, ipath, f"{kpath}/$dynamicRef")
+            merge_annotations(o)
+            if not o.valid:
+                absorb(o, "$dynamicRef")
+
+        # ---- validation keywords (leaf predicates) ---------------------
+        if "type" in schema:
+            types = schema["type"]
+            if isinstance(types, str):
+                types = [types]
+            if not any(matches_type(instance, t) for t in types):
+                err("type", f"instance type {jt} does not match {types}")
+
+        if "enum" in schema:
+            if not any(json_equal(instance, v) for v in schema["enum"]):
+                err("enum", "value not found in enumeration")
+
+        if "const" in schema:
+            if not json_equal(instance, schema["const"]):
+                err("const", "value does not equal the constant")
+
+        if jt == "number":
+            if "multipleOf" in schema:
+                if _dec(instance) % _dec(schema["multipleOf"]) != 0:
+                    err("multipleOf", f"not a multiple of {schema['multipleOf']}")
+            if "maximum" in schema and not instance <= schema["maximum"]:
+                err("maximum", f"exceeds maximum {schema['maximum']}")
+            if "exclusiveMaximum" in schema and not instance < schema["exclusiveMaximum"]:
+                err("exclusiveMaximum", f"not below {schema['exclusiveMaximum']}")
+            if "minimum" in schema and not instance >= schema["minimum"]:
+                err("minimum", f"below minimum {schema['minimum']}")
+            if "exclusiveMinimum" in schema and not instance > schema["exclusiveMinimum"]:
+                err("exclusiveMinimum", f"not above {schema['exclusiveMinimum']}")
+
+        if jt == "string":
+            if "maxLength" in schema and len(instance) > schema["maxLength"]:
+                err("maxLength", f"longer than {schema['maxLength']}")
+            if "minLength" in schema and len(instance) < schema["minLength"]:
+                err("minLength", f"shorter than {schema['minLength']}")
+            if "pattern" in schema and not self._pat(schema["pattern"]).search(instance):
+                err("pattern", f"does not match pattern {schema['pattern']!r}")
+
+        if jt == "array":
+            if "maxItems" in schema and len(instance) > schema["maxItems"]:
+                err("maxItems", f"more than {schema['maxItems']} items")
+            if "minItems" in schema and len(instance) < schema["minItems"]:
+                err("minItems", f"fewer than {schema['minItems']} items")
+            if schema.get("uniqueItems"):
+                dup = False
+                for i in range(len(instance)):
+                    for j in range(i + 1, len(instance)):
+                        if json_equal(instance[i], instance[j]):
+                            dup = True
+                            break
+                    if dup:
+                        break
+                if dup:
+                    err("uniqueItems", "array items are not unique")
+
+        if jt == "object":
+            keys = list(instance.keys())
+            if "maxProperties" in schema and len(keys) > schema["maxProperties"]:
+                err("maxProperties", f"more than {schema['maxProperties']} properties")
+            if "minProperties" in schema and len(keys) < schema["minProperties"]:
+                err("minProperties", f"fewer than {schema['minProperties']} properties")
+            if "required" in schema:
+                missing = [k for k in schema["required"] if k not in instance]
+                if missing:
+                    err("required", f"missing required properties {missing}")
+            if "dependentRequired" in schema:
+                for k, deps in schema["dependentRequired"].items():
+                    if k in instance:
+                        missing = [d for d in deps if d not in instance]
+                        if missing:
+                            err(
+                                "dependentRequired",
+                                f"property {k!r} requires {missing}",
+                            )
+
+        if "format" in schema and self.assert_formats:
+            entry = self.formats.get(schema["format"])
+            if entry is not None:
+                fn, types_ = entry
+                if jt in types_ and not fn(instance):
+                    err("format", f"not a valid {schema['format']}")
+
+        # ---- array applicators ------------------------------------------
+        contains_count = None
+        if jt == "array":
+            n_prefix = 0
+            if "prefixItems" in schema:
+                n_prefix = min(len(schema["prefixItems"]), len(instance))
+                for i in range(n_prefix):
+                    o = sub(schema["prefixItems"][i], instance[i], f"prefixItems/{i}", f"/{i}")
+                    if o.valid:
+                        out.evaluated_items.add(i)
+                    else:
+                        absorb(o, "prefixItems")
+            if "items" in schema:
+                for i in range(len(schema.get("prefixItems", [])), len(instance)):
+                    o = sub(schema["items"], instance[i], "items", f"/{i}")
+                    if o.valid:
+                        out.evaluated_items.add(i)
+                    else:
+                        absorb(o, "items")
+            if "contains" in schema:
+                matched = []
+                for i, item in enumerate(instance):
+                    o = sub(schema["contains"], item, "contains", f"/{i}")
+                    if o.valid:
+                        matched.append(i)
+                        out.evaluated_items.add(i)
+                contains_count = len(matched)
+                min_c = schema.get("minContains", 1)
+                if contains_count == 0 and min_c > 0:
+                    err("contains", "no array items match the contains schema")
+                if "maxContains" in schema and contains_count > schema["maxContains"]:
+                    err("maxContains", f"more than {schema['maxContains']} matching items")
+                if "minContains" in schema and contains_count < schema["minContains"]:
+                    err("minContains", f"fewer than {schema['minContains']} matching items")
+
+        # ---- object applicators ------------------------------------------
+        if jt == "object":
+            matched_by_props: set[str] = set()
+            if "properties" in schema:
+                for name, subschema in schema["properties"].items():
+                    if name in instance:
+                        matched_by_props.add(name)
+                        o = sub(
+                            subschema,
+                            instance[name],
+                            f"properties/{pointer_escape(name)}",
+                            f"/{pointer_escape(name)}",
+                        )
+                        if o.valid:
+                            out.evaluated_props.add(name)
+                        else:
+                            absorb(o, "properties")
+            if "patternProperties" in schema:
+                for pattern, subschema in schema["patternProperties"].items():
+                    pat = self._pat(pattern)
+                    for name in instance:
+                        if pat.search(name):
+                            matched_by_props.add(name)
+                            o = sub(
+                                subschema,
+                                instance[name],
+                                f"patternProperties/{pointer_escape(pattern)}",
+                                f"/{pointer_escape(name)}",
+                            )
+                            if o.valid:
+                                out.evaluated_props.add(name)
+                            else:
+                                absorb(o, "patternProperties")
+            if "additionalProperties" in schema:
+                for name in instance:
+                    if name not in matched_by_props:
+                        o = sub(
+                            schema["additionalProperties"],
+                            instance[name],
+                            "additionalProperties",
+                            f"/{pointer_escape(name)}",
+                        )
+                        if o.valid:
+                            out.evaluated_props.add(name)
+                        else:
+                            absorb(o, "additionalProperties")
+            if "propertyNames" in schema:
+                for name in instance:
+                    o = sub(schema["propertyNames"], name, "propertyNames")
+                    if not o.valid:
+                        absorb(
+                            o,
+                            "propertyNames",
+                            f"property name {name!r} is invalid",
+                        )
+            if "dependentSchemas" in schema:
+                for k, subschema in schema["dependentSchemas"].items():
+                    if k in instance:
+                        o = sub(subschema, instance, f"dependentSchemas/{pointer_escape(k)}")
+                        merge_annotations(o)
+                        if not o.valid:
+                            absorb(o, "dependentSchemas")
+
+        # ---- logical combinators -----------------------------------------
+        if "allOf" in schema:
+            for i, s in enumerate(schema["allOf"]):
+                o = sub(s, instance, f"allOf/{i}")
+                merge_annotations(o)
+                if not o.valid:
+                    absorb(o, "allOf")
+        if "anyOf" in schema:
+            results = [sub(s, instance, f"anyOf/{i}") for i, s in enumerate(schema["anyOf"])]
+            for o in results:
+                merge_annotations(o)
+            if not any(o.valid for o in results):
+                out.valid = False
+                out.errors.append(
+                    Violation("anyOf", ipath, f"{kpath}/anyOf", "no subschema matched")
+                )
+                for o in results:
+                    out.errors.extend(o.errors)
+        if "oneOf" in schema:
+            results = [sub(s, instance, f"oneOf/{i}") for i, s in enumerate(schema["oneOf"])]
+            n_valid = sum(1 for o in results if o.valid)
+            for o in results:
+                merge_annotations(o)
+            if n_valid != 1:
+                out.valid = False
+                out.errors.append(
+                    Violation(
+                        "oneOf", ipath, f"{kpath}/oneOf", f"{n_valid} subschemas matched, need exactly 1"
+                    )
+                )
+        if "not" in schema:
+            o = sub(schema["not"], instance, "not")
+            if o.valid:
+                err("not", "instance must not match the subschema")
+        if "if" in schema:
+            cond = sub(schema["if"], instance, "if")  # noassert: never fails parent
+            if cond.valid:
+                merge_annotations(cond)
+                if "then" in schema:
+                    o = sub(schema["then"], instance, "then")
+                    merge_annotations(o)
+                    if not o.valid:
+                        absorb(o, "then")
+            else:
+                if "else" in schema:
+                    o = sub(schema["else"], instance, "else")
+                    merge_annotations(o)
+                    if not o.valid:
+                        absorb(o, "else")
+
+        # ---- unevaluated* (depend on every sibling's annotations) --------
+        if "unevaluatedItems" in schema and jt == "array":
+            for i in range(len(instance)):
+                if i in out.evaluated_items:
+                    continue
+                o = sub(schema["unevaluatedItems"], instance[i], "unevaluatedItems", f"/{i}")
+                if o.valid:
+                    out.evaluated_items.add(i)
+                else:
+                    absorb(o, "unevaluatedItems")
+        if "unevaluatedProperties" in schema and jt == "object":
+            for name in instance:
+                if name in out.evaluated_props:
+                    continue
+                o = sub(
+                    schema["unevaluatedProperties"],
+                    instance[name],
+                    "unevaluatedProperties",
+                    f"/{pointer_escape(name)}",
+                )
+                if o.valid:
+                    out.evaluated_props.add(name)
+                else:
+                    absorb(o, "unevaluatedProperties")
+
+        # a failed schema contributes no annotations upward
+        if not out.valid:
+            out.evaluated_props = set()
+            out.evaluated_items = set()
+        return out

@@ -1,0 +1,674 @@
+"""Lower a JSON Schema onto typed Spark columns as pure Column algebra.
+
+This is the scale path: every keyword becomes a ``pyspark.sql.Column``
+predicate plus an ``array<struct>`` of violation records, so one
+``df.select`` evaluates the whole schema in a single
+whole-stage-codegen'd scan — no shuffle, no Python.
+
+Keyword semantics follow the reference implementation
+(/root/reference/jschon/vocabulary/validation.py, applicator.py,
+core.py) re-derived for columnar execution:
+
+* instance-type gating (jsonschema.py:208-211): the Spark column type
+  is known at compile time, so wrong-typed keywords fold to
+  ``lit(True)`` before Catalyst ever sees them.
+* NULL convention: a NULL **struct field** is an *absent* property
+  (``properties`` then doesn't apply, ``required`` fails); a NULL
+  **array element** is JSON ``null``.
+* Keywords the expression algebra can't faithfully express raise
+  :class:`CannotLower`; the engine then falls back to the vectorized
+  batch evaluator (lowering/batch.py) for the whole schema.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jschon_spark.schema.catalog import SchemaCatalog, pointer_escape
+
+VIOLATION_TYPE = T.StructType(
+    [
+        T.StructField("keyword", T.StringType()),
+        T.StructField("instance_path", T.StringType()),
+        T.StructField("keyword_path", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+VIOLATION_DDL = (
+    "array<struct<keyword:string,instance_path:string,"
+    "keyword_path:string,value:string,error:string>>"
+)
+
+
+class CannotLower(Exception):
+    """Schema feature outside the Column-expression subset."""
+
+
+def spark_json_type(dtype: T.DataType) -> str:
+    """Static JSON type of a Spark column type."""
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer"
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "number"
+    if isinstance(dtype, T.ArrayType):
+        return "array"
+    if isinstance(dtype, (T.StructType, T.MapType)):
+        return "object"
+    if isinstance(dtype, (T.TimestampType, T.DateType)):
+        # timestamps surface as RFC 3339 strings in the JSON view
+        return "string"
+    if isinstance(dtype, T.NullType):
+        return "null"
+    raise CannotLower(f"no JSON type for Spark type {dtype}")
+
+
+def _static_type_match(json_t: str, wanted: list[str]) -> bool:
+    if json_t == "integer":
+        return bool({"integer", "number"} & set(wanted))
+    if json_t == "number":
+        # a float column *may* hold whole values: integer acceptance is
+        # runtime (col == floor(col)), handled by the caller
+        return bool({"number", "integer"} & set(wanted))
+    return json_t in wanted
+
+
+def _EMPTY_ARR() -> Column:
+    # built lazily: Column construction needs an active SparkSession
+    return F.array().cast(VIOLATION_DDL)
+
+
+def _violation(keyword: str, ipath: Column, kpath: str, value: Column, error: str) -> Column:
+    return F.struct(
+        F.lit(keyword).alias("keyword"),
+        ipath.alias("instance_path"),
+        F.lit(kpath).alias("keyword_path"),
+        F.substring(value.cast("string"), 1, 256).alias("value"),
+        F.lit(error).alias("error"),
+    )
+
+
+def _check(pred: Column, keyword: str, ipath: Column, kpath: str, value: Column, error: str):
+    """(valid, violations) for one leaf assertion; NULL pred counts as fail."""
+    ok = F.coalesce(pred, F.lit(False))
+    viol = F.when(ok, _EMPTY_ARR()).otherwise(
+        F.array(_violation(keyword, ipath, kpath + "/" + keyword, value, error))
+    )
+    return ok, viol
+
+
+def _concat(*viols: Column) -> Column:
+    vs = [v for v in viols if v is not None]
+    if not vs:
+        return _EMPTY_ARR()
+    if len(vs) == 1:
+        return vs[0]
+    return F.concat(*vs)
+
+
+class ColumnLowerer:
+    """Compile one schema document into (valid, violations) Columns."""
+
+    def __init__(self, catalog: SchemaCatalog, assert_formats: bool = False) -> None:
+        self.catalog = catalog
+        self.assert_formats = assert_formats
+        self._ref_stack: list[int] = []
+
+    # -- entry ------------------------------------------------------------
+    def lower(
+        self,
+        schema: Any,
+        dtype: T.DataType,
+        col: Column,
+        base_uri: str,
+        ipath: Column | None = None,
+        kpath: str = "",
+    ) -> tuple[Column, Column]:
+        if ipath is None:
+            ipath = F.lit("")
+        return self._lower(schema, dtype, col, base_uri, ipath, kpath)
+
+    # -- core -------------------------------------------------------------
+    def _lower(
+        self,
+        schema: Any,
+        dtype: T.DataType,
+        col: Column,
+        base_uri: str,
+        ipath: Column,
+        kpath: str,
+    ) -> tuple[Column, Column]:
+        if isinstance(schema, bool):
+            if schema:
+                return F.lit(True), _EMPTY_ARR()
+            return F.lit(False), F.array(
+                _violation("", ipath, kpath, col, "boolean schema false permits nothing")
+            )
+        if not isinstance(schema, dict):
+            raise CannotLower(f"schema must be bool or object at {kpath}")
+
+        if isinstance(schema.get("$id"), str):
+            from urllib.parse import urljoin
+
+            base_uri = urljoin(base_uri, schema["$id"]).split("#", 1)[0]
+        if "$dynamicRef" in schema or "$recursiveRef" in schema:
+            raise CannotLower("$dynamicRef requires the batch evaluator")
+        if "unevaluatedItems" in schema:
+            raise CannotLower("unevaluatedItems requires the batch evaluator")
+
+        json_t = spark_json_type(dtype)
+        valids: list[Column] = []
+        viols: list[Column] = []
+
+        def add(v: Column, w: Column) -> None:
+            valids.append(v)
+            viols.append(w)
+
+        # ---- $ref (acyclic: inline; cycles -> batch fallback) ----------
+        if "$ref" in schema:
+            target, tbase = self.catalog.resolve(schema["$ref"], base_uri)
+            tid = id(target)
+            if tid in self._ref_stack:
+                raise CannotLower(f"cyclic $ref at {kpath} requires the batch evaluator")
+            self._ref_stack.append(tid)
+            try:
+                add(*self._lower(target, dtype, col, tbase, ipath, kpath + "/$ref"))
+            finally:
+                self._ref_stack.pop()
+
+        # ---- leaf predicates -------------------------------------------
+        self._lower_validation(schema, dtype, json_t, col, ipath, kpath, add)
+
+        # ---- applicators -------------------------------------------------
+        if json_t == "array":
+            self._lower_array(schema, dtype, col, base_uri, ipath, kpath, add)
+        elif json_t == "object" and isinstance(dtype, T.StructType):
+            self._lower_struct(schema, dtype, col, base_uri, ipath, kpath, add)
+        elif any(
+            k in schema
+            for k in (
+                "properties",
+                "patternProperties",
+                "additionalProperties",
+                "propertyNames",
+                "unevaluatedProperties",
+                "items",
+                "prefixItems",
+                "contains",
+            )
+        ):
+            # object/array applicators on a non-container column: no-op
+            # (instance-type gating), nothing to lower
+            pass
+
+        # ---- combinators --------------------------------------------------
+        self._lower_combinators(schema, dtype, col, base_uri, ipath, kpath, add)
+
+        if not valids:
+            return F.lit(True), _EMPTY_ARR()
+        valid = valids[0]
+        for v in valids[1:]:
+            valid = valid & v
+        return valid, _concat(*viols)
+
+    # -- leaf validation keywords -----------------------------------------
+    def _lower_validation(self, schema, dtype, json_t, col, ipath, kpath, add):
+        if "type" in schema:
+            wanted = schema["type"]
+            if isinstance(wanted, str):
+                wanted = [wanted]
+            if json_t == "number" and "integer" in wanted and "number" not in wanted:
+                pred: Column = col == F.floor(col)
+            else:
+                pred = F.lit(_static_type_match(json_t, wanted))
+            # NULL value = JSON null for non-struct-field positions
+            pred = F.when(col.isNull(), F.lit("null" in wanted)).otherwise(pred)
+            add(*_check(pred, "type", ipath, kpath, col, f"type must be one of {wanted}"))
+
+        if "enum" in schema:
+            values = [v for v in schema["enum"] if self._enum_compatible(v, json_t)]
+            if json_t in ("string", "number", "integer", "boolean"):
+                scalars = [v for v in values if not isinstance(v, (list, dict))]
+                pred = col.isin(*scalars) if scalars else F.lit(False)
+                if any(v is None for v in schema["enum"]):
+                    pred = pred | col.isNull()
+                add(*_check(pred, "enum", ipath, kpath, col, "value not in enumeration"))
+            else:
+                raise CannotLower(f"enum over {json_t} column requires batch evaluator")
+
+        if "const" in schema:
+            c = schema["const"]
+            if isinstance(c, (list, dict)):
+                raise CannotLower("compound const requires batch evaluator")
+            if c is None:
+                pred = col.isNull()
+            else:
+                pred = col == F.lit(c)
+            add(*_check(pred, "const", ipath, kpath, col, "value does not equal const"))
+
+        if json_t in ("number", "integer"):
+            if "multipleOf" in schema:
+                m = schema["multipleOf"]
+                if isinstance(m, int) and json_t == "integer":
+                    pred = col % F.lit(m) == 0
+                else:
+                    # exact decimal modulus, mirroring Python Decimal math
+                    # (/root/reference/jschon/vocabulary/validation.py:66-75)
+                    pred = (
+                        col.cast(T.DecimalType(38, 12))
+                        % F.lit(m).cast(T.DecimalType(38, 12))
+                    ) == F.lit(0).cast(T.DecimalType(38, 12))
+                add(*_check(pred, "multipleOf", ipath, kpath, col, f"not a multiple of {m}"))
+            for kw, op in (
+                ("maximum", lambda c, v: c <= v),
+                ("exclusiveMaximum", lambda c, v: c < v),
+                ("minimum", lambda c, v: c >= v),
+                ("exclusiveMinimum", lambda c, v: c > v),
+            ):
+                if kw in schema:
+                    add(
+                        *_check(
+                            op(col, F.lit(schema[kw])),
+                            kw,
+                            ipath,
+                            kpath,
+                            col,
+                            f"violates {kw} {schema[kw]}",
+                        )
+                    )
+
+        if json_t == "string":
+            scol = self._as_string(col, dtype)
+            if "maxLength" in schema:
+                add(
+                    *_check(
+                        F.length(scol) <= schema["maxLength"],
+                        "maxLength", ipath, kpath, scol,
+                        f"longer than {schema['maxLength']}",
+                    )
+                )
+            if "minLength" in schema:
+                add(
+                    *_check(
+                        F.length(scol) >= schema["minLength"],
+                        "minLength", ipath, kpath, scol,
+                        f"shorter than {schema['minLength']}",
+                    )
+                )
+            if "pattern" in schema:
+                pat = schema["pattern"]
+                self._check_regex_dialect(pat)
+                add(
+                    *_check(
+                        scol.rlike(pat), "pattern", ipath, kpath, scol,
+                        f"does not match pattern {pat}",
+                    )
+                )
+            if "format" in schema and self.assert_formats:
+                add(*self._lower_format(schema["format"], scol, ipath, kpath))
+
+        if json_t == "array":
+            if "maxItems" in schema:
+                add(
+                    *_check(
+                        F.size(col) <= schema["maxItems"],
+                        "maxItems", ipath, kpath, F.size(col),
+                        f"more than {schema['maxItems']} items",
+                    )
+                )
+            if "minItems" in schema:
+                add(
+                    *_check(
+                        F.size(col) >= schema["minItems"],
+                        "minItems", ipath, kpath, F.size(col),
+                        f"fewer than {schema['minItems']} items",
+                    )
+                )
+            if schema.get("uniqueItems"):
+                if isinstance(dtype.elementType, (T.ArrayType, T.StructType, T.MapType)):
+                    raise CannotLower("uniqueItems over compound elements -> batch")
+                add(
+                    *_check(
+                        F.size(col) == F.size(F.array_distinct(col)),
+                        "uniqueItems", ipath, kpath, col,
+                        "array items are not unique",
+                    )
+                )
+
+        if json_t == "object" and isinstance(dtype, T.StructType):
+            n_present = None
+            for f_ in dtype.fields:
+                p = col[f_.name].isNotNull().cast("int")
+                n_present = p if n_present is None else (n_present + p)
+            if "maxProperties" in schema:
+                add(
+                    *_check(
+                        n_present <= schema["maxProperties"],
+                        "maxProperties", ipath, kpath, n_present,
+                        f"more than {schema['maxProperties']} properties",
+                    )
+                )
+            if "minProperties" in schema:
+                add(
+                    *_check(
+                        n_present >= schema["minProperties"],
+                        "minProperties", ipath, kpath, n_present,
+                        f"fewer than {schema['minProperties']} properties",
+                    )
+                )
+            if "required" in schema:
+                names = set(f_.name for f_ in dtype.fields)
+                for req in schema["required"]:
+                    if req not in names:
+                        add(
+                            *_check(
+                                F.lit(False), "required", ipath, kpath,
+                                F.lit(req), f"missing required property {req!r}",
+                            )
+                        )
+                    else:
+                        add(
+                            *_check(
+                                col[req].isNotNull(), "required", ipath, kpath,
+                                F.lit(req), f"missing required property {req!r}",
+                            )
+                        )
+            if "dependentRequired" in schema:
+                names = set(f_.name for f_ in dtype.fields)
+                for k, deps in schema["dependentRequired"].items():
+                    if k not in names:
+                        continue
+                    dep_ok = F.lit(True)
+                    for d in deps:
+                        dep_ok = dep_ok & (
+                            col[d].isNotNull() if d in names else F.lit(False)
+                        )
+                    pred = F.when(col[k].isNotNull(), dep_ok).otherwise(F.lit(True))
+                    add(
+                        *_check(
+                            pred, "dependentRequired", ipath, kpath, F.lit(k),
+                            f"property {k!r} requires {deps}",
+                        )
+                    )
+
+    # -- array applicators --------------------------------------------------
+    def _lower_array(self, schema, dtype, col, base_uri, ipath, kpath, add):
+        elem_t = dtype.elementType
+        prefix = schema.get("prefixItems", [])
+        for i, sub in enumerate(prefix):
+            elem = F.element_at(col, i + 1)
+            v, w = self._lower(
+                sub, elem_t, elem, base_uri,
+                F.concat(ipath, F.lit(f"/{i}")), f"{kpath}/prefixItems/{i}",
+            )
+            applies = F.size(col) > i
+            add(
+                F.when(applies, v).otherwise(F.lit(True)),
+                F.when(applies, w).otherwise(_EMPTY_ARR()),
+            )
+        if "items" in schema:
+            sub = schema["items"]
+            start = len(prefix)
+
+            def per_elem(x: Column, i: Column):
+                return self._lower(
+                    sub, elem_t, x, base_uri,
+                    F.concat(ipath, F.lit("/"), i.cast("string")),
+                    f"{kpath}/items",
+                )
+
+            tail = F.slice(col, start + 1, F.greatest(F.size(col) - start, F.lit(0)))
+            # positions in the ORIGINAL array for violation paths
+            pairs = F.transform(
+                col, lambda x, i: F.struct(x.alias("x"), i.alias("i"))
+            )
+            tail_pairs = F.filter(pairs, lambda p: p["i"] >= start)
+            valid = F.forall(tail_pairs, lambda p: per_elem(p["x"], p["i"])[0])
+            viol = F.flatten(
+                F.transform(tail_pairs, lambda p: per_elem(p["x"], p["i"])[1])
+            ).cast(VIOLATION_DDL)
+            add(
+                F.coalesce(valid, F.lit(True)),
+                F.coalesce(viol, _EMPTY_ARR()),
+            )
+        if "contains" in schema:
+            sub = schema["contains"]
+
+            def pred(x: Column, i: Column):
+                return self._lower(
+                    sub, elem_t, x, base_uri, ipath, f"{kpath}/contains"
+                )[0]
+
+            pairs = F.transform(col, lambda x, i: F.struct(x.alias("x"), i.alias("i")))
+            n_match = F.size(F.filter(pairs, lambda p: pred(p["x"], p["i"])))
+            min_c = schema.get("minContains", 1)
+            if min_c > 0:
+                add(
+                    *_check(
+                        n_match > 0, "contains", ipath, kpath, n_match,
+                        "no array items match the contains schema",
+                    )
+                )
+            if "maxContains" in schema:
+                add(
+                    *_check(
+                        n_match <= schema["maxContains"],
+                        "maxContains", ipath, kpath, n_match,
+                        f"more than {schema['maxContains']} matching items",
+                    )
+                )
+            if "minContains" in schema:
+                add(
+                    *_check(
+                        n_match >= min_c, "minContains", ipath, kpath, n_match,
+                        f"fewer than {min_c} matching items",
+                    )
+                )
+
+    # -- object applicators over structs -------------------------------------
+    def _lower_struct(self, schema, dtype, col, base_uri, ipath, kpath, add):
+        fields = {f_.name: f_ for f_ in dtype.fields}
+        covered: set[str] = set()
+        props = schema.get("properties", {})
+        for name, sub in props.items():
+            if name not in fields:
+                continue  # absent in the physical schema = never present
+            covered.add(name)
+            child = col[name]
+            v, w = self._lower(
+                sub, fields[name].dataType, child, base_uri,
+                F.concat(ipath, F.lit("/" + pointer_escape(name))),
+                f"{kpath}/properties/{pointer_escape(name)}",
+            )
+            # property subschema applies only when the property is present
+            add(
+                F.when(child.isNotNull(), v).otherwise(F.lit(True)),
+                F.when(child.isNotNull(), w).otherwise(_EMPTY_ARR()),
+            )
+        for pattern, sub in schema.get("patternProperties", {}).items():
+            self._check_regex_dialect(pattern)
+            rx = re.compile(pattern)
+            for name, f_ in fields.items():
+                if rx.search(name):
+                    covered.add(name)
+                    child = col[name]
+                    v, w = self._lower(
+                        sub, f_.dataType, child, base_uri,
+                        F.concat(ipath, F.lit("/" + pointer_escape(name))),
+                        f"{kpath}/patternProperties/{pointer_escape(pattern)}",
+                    )
+                    add(
+                        F.when(child.isNotNull(), v).otherwise(F.lit(True)),
+                        F.when(child.isNotNull(), w).otherwise(_EMPTY_ARR()),
+                    )
+        for kw in ("additionalProperties", "unevaluatedProperties"):
+            if kw in schema:
+                if kw == "unevaluatedProperties" and any(
+                    k in schema for k in ("allOf", "anyOf", "oneOf", "if", "$ref", "dependentSchemas")
+                ):
+                    raise CannotLower(
+                        "unevaluatedProperties with in-place applicators -> batch"
+                    )
+                sub = schema[kw]
+                for name, f_ in fields.items():
+                    if name in covered:
+                        continue
+                    child = col[name]
+                    v, w = self._lower(
+                        sub, f_.dataType, child, base_uri,
+                        F.concat(ipath, F.lit("/" + pointer_escape(name))),
+                        f"{kpath}/{kw}",
+                    )
+                    add(
+                        F.when(child.isNotNull(), v).otherwise(F.lit(True)),
+                        F.when(child.isNotNull(), w).otherwise(_EMPTY_ARR()),
+                    )
+        if "propertyNames" in schema:
+            # field names are static: evaluate each name at compile time
+            # with the driver-side evaluator (names are strings)
+            from jschon_spark.evaluator import Evaluator
+
+            ev = Evaluator(self.catalog)
+            for name, f_ in fields.items():
+                o = ev.validate(schema["propertyNames"], name)
+                if not o.valid:
+                    child = col[name]
+                    add(
+                        *_check(
+                            child.isNull(), "propertyNames", ipath, kpath,
+                            F.lit(name), f"property name {name!r} is invalid",
+                        )
+                    )
+        if "dependentSchemas" in schema:
+            for k, sub in schema["dependentSchemas"].items():
+                if k not in fields:
+                    continue
+                v, w = self._lower(
+                    sub, dtype, col, base_uri, ipath,
+                    f"{kpath}/dependentSchemas/{pointer_escape(k)}",
+                )
+                present = col[k].isNotNull()
+                add(
+                    F.when(present, v).otherwise(F.lit(True)),
+                    F.when(present, w).otherwise(_EMPTY_ARR()),
+                )
+
+    # -- combinators -----------------------------------------------------------
+    def _lower_combinators(self, schema, dtype, col, base_uri, ipath, kpath, add):
+        if "allOf" in schema:
+            for i, sub in enumerate(schema["allOf"]):
+                add(*self._lower(sub, dtype, col, base_uri, ipath, f"{kpath}/allOf/{i}"))
+        if "anyOf" in schema:
+            parts = [
+                self._lower(sub, dtype, col, base_uri, ipath, f"{kpath}/anyOf/{i}")
+                for i, sub in enumerate(schema["anyOf"])
+            ]
+            any_ok = parts[0][0]
+            for v, _ in parts[1:]:
+                any_ok = any_ok | v
+            viol = F.when(any_ok, _EMPTY_ARR()).otherwise(
+                _concat(
+                    F.array(_violation("anyOf", ipath, f"{kpath}/anyOf", col, "no subschema matched")),
+                    *[w for _, w in parts],
+                )
+            )
+            add(F.coalesce(any_ok, F.lit(False)), viol)
+        if "oneOf" in schema:
+            parts = [
+                self._lower(sub, dtype, col, base_uri, ipath, f"{kpath}/oneOf/{i}")
+                for i, sub in enumerate(schema["oneOf"])
+            ]
+            n_ok = parts[0][0].cast("int")
+            for v, _ in parts[1:]:
+                n_ok = n_ok + v.cast("int")
+            ok = n_ok == 1
+            viol = F.when(ok, _EMPTY_ARR()).otherwise(
+                F.array(
+                    _violation(
+                        "oneOf", ipath, f"{kpath}/oneOf", n_ok,
+                        "exactly one subschema must match",
+                    )
+                )
+            )
+            add(F.coalesce(ok, F.lit(False)), viol)
+        if "not" in schema:
+            v, _ = self._lower(schema["not"], dtype, col, base_uri, ipath, f"{kpath}/not")
+            add(
+                *_check(
+                    ~v, "not", ipath, kpath, col, "instance must not match the subschema"
+                )
+            )
+        if "if" in schema:
+            cond, _ = self._lower(schema["if"], dtype, col, base_uri, ipath, f"{kpath}/if")
+            cond = F.coalesce(cond, F.lit(False))
+            if "then" in schema:
+                v, w = self._lower(schema["then"], dtype, col, base_uri, ipath, f"{kpath}/then")
+                add(
+                    F.when(cond, v).otherwise(F.lit(True)),
+                    F.when(cond, w).otherwise(_EMPTY_ARR()),
+                )
+            if "else" in schema:
+                v, w = self._lower(schema["else"], dtype, col, base_uri, ipath, f"{kpath}/else")
+                add(
+                    F.when(~cond, v).otherwise(F.lit(True)),
+                    F.when(~cond, w).otherwise(_EMPTY_ARR()),
+                )
+
+    # -- misc helpers -------------------------------------------------------
+    @staticmethod
+    def _enum_compatible(v, json_t: str) -> bool:
+        from jschon_spark.evaluator import json_type
+
+        if v is None:
+            return True
+        t = json_type(v)
+        if json_t == "integer":
+            return t == "number"
+        if json_t == "number":
+            return t == "number"
+        return t == json_t
+
+    @staticmethod
+    def _as_string(col: Column, dtype: T.DataType) -> Column:
+        if isinstance(dtype, T.TimestampType):
+            return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if isinstance(dtype, T.DateType):
+            return F.date_format(col, "yyyy-MM-dd")
+        return col
+
+    # Java regex constructs that differ from Python `re` enough to lie:
+    _JAVA_INCOMPATIBLE = re.compile(r"\(\?P[<=!]|\\Z|\\A|\(\?<")
+
+    def _check_regex_dialect(self, pattern: str) -> None:
+        """rlike is Java regex; refuse patterns whose dialect diverges
+        from Python `re` (the reference semantics,
+        /root/reference/jschon/vocabulary/validation.py:132-142)."""
+        if self._JAVA_INCOMPATIBLE.search(pattern):
+            raise CannotLower(f"regex dialect risk in pattern {pattern!r} -> batch")
+        re.compile(pattern)  # must at least be a valid Python regex
+
+    _FORMAT_REGEX = {
+        "date-time": r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$",
+        "date": r"^\d{4}-\d{2}-\d{2}$",
+        "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$",
+        "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+        "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
+        "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:",
+    }
+
+    def _lower_format(self, fmt: str, scol: Column, ipath: Column, kpath: str):
+        rx = self._FORMAT_REGEX.get(fmt)
+        if rx is None:
+            raise CannotLower(f"format {fmt!r} has no expression lowering -> batch")
+        return _check(
+            scol.rlike(rx), "format", ipath, kpath, scol, f"not a valid {fmt}"
+        )

@@ -1,0 +1,238 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything stays JVM-side: shingling, hashing, signatures and banding
+are built-in higher-order array functions (``transform`` /
+``aggregate`` / ``zip_with``), so the per-row path never enters Python.
+
+Scale notes
+-----------
+* exact: one groupBy on a 64-bit fingerprint — map-side combine makes
+  the shuffle proportional to distinct keys.
+* MinHash LSH: signature computation is a scan; the only shuffle is
+  the band-bucket self-join, whose size is controlled by (bands, rows)
+  — candidates are verified with exact Jaccard before being reported,
+  so false positives cost compute, never correctness.
+* SimHash: 64-bit signature by pure Column algebra; near-dup candidate
+  generation joins on 16-bit chunks (pigeonhole: hamming ≤ 3 implies
+  one of 4 chunks equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jschon_spark.operators.textqa import tokens
+
+
+def normalized(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Groups of byte-identical (after whitespace-normalization) texts.
+
+    Output: text_hash:string, n_dup:bigint, doc_ids:array<id> (sorted).
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("doc_ids"),
+        )
+        .filter(F.col("n_dup") > 1)
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text (array<string>)."""
+    toks = tokens(normalized(col))
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per seed, the min xxhash64(shingle, seed)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string-array sets."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(1.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs, Jaccard-verified.
+
+    Output: id_a, id_b (id_a < id_b), jaccard:double — pairs with
+    true n-gram Jaccard ≥ threshold that collided in ≥1 LSH band.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard ≥ threshold (test scale only:
+    O(n²) cross join — the LSH variant is the scale path)."""
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            jaccard(F.col("l.sh"), F.col("r.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of the whitespace tokens, pure Column algebra.
+
+    Per token: xxhash64 → ±1 per bit; sum per bit over tokens; sign →
+    signature bit. Uses aggregate/zip_with so it fuses into the scan.
+    """
+    toks = tokens(normalized(col))
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        toks,
+        F.expr(f"array_repeat(0L, {bits})"),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                positions,
+                lambda i: F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1,
+            ),
+            lambda a, b: a + b.cast("bigint"),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(counts, positions, lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ max_hamming.
+
+    Candidates via 16-bit chunk equality (pigeonhole for ≤3 differing
+    bits over 4 chunks), verified with bit_count(xor).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
+    )
+    chunked = base.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.alias("chunk"),
+                    F.shiftright(F.col("sig"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                ),
+            )
+        ).alias("c"),
+    ).select("id", "sig", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    l, r = chunked.alias("l"), chunked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

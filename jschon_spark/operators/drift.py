@@ -1,0 +1,123 @@
+"""Distribution-drift checks — per-partition histograms + PSI / KS.
+
+No jschon analogue (new, per BASELINE.json north_star): fixed-bin
+histograms per table partition, combined into per-partition
+distributions, compared against a reference distribution with
+Population Stability Index and Kolmogorov-Smirnov statistics.
+
+Scale notes
+-----------
+The histogram is ONE groupBy((partition, bucket)).count() — map-side
+partial aggregation means the shuffle carries at most
+n_partitions × n_bins rows regardless of input size (a two-level
+tree combine in effect: partial per task, final per reducer). The
+PSI/KS math runs on the tiny combined histogram — driver-side by
+design, mirroring SURVEY.md §2.8's two-level treeAggregate plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fixed_bucket(col, lo: float, hi: float, n_bins: int):
+    """Deterministic fixed-width bucket index in [0, n_bins-1].
+
+    Expressed with floor/least/greatest only so an external SQL oracle
+    (DuckDB) reproduces it bit-for-bit on the same doubles.
+    """
+    step = (hi - lo) / n_bins
+    raw = F.floor((col - F.lit(lo)) / F.lit(step)).cast("bigint")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    partition_col: str | None,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-(partition, bucket) counts. NULL values are dropped.
+
+    Output: [<partition_col>,] bucket:bigint, n:bigint
+    """
+    d = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "bucket", fixed_bucket(F.col(value_col), lo, hi, n_bins)
+    )
+    keys = ([partition_col] if partition_col else []) + ["bucket"]
+    return d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _to_dist(rows, n_bins: int) -> list[float]:
+    counts = [0.0] * n_bins
+    for b, n in rows:
+        counts[int(b)] = float(n)
+    total = sum(counts) or 1.0
+    return [c / total for c in counts]
+
+
+def psi(expected: list[float], actual: list[float], eps: float = 1e-6) -> float:
+    """Population Stability Index between two binned distributions."""
+    s = 0.0
+    for e, a in zip(expected, actual):
+        e = max(e, eps)
+        a = max(a, eps)
+        s += (a - e) * math.log(a / e)
+    return s
+
+
+def ks_stat(expected: list[float], actual: list[float]) -> float:
+    """KS statistic (max |ΔCDF|) between two binned distributions."""
+    ce = ca = 0.0
+    best = 0.0
+    for e, a in zip(expected, actual):
+        ce += e
+        ca += a
+        best = max(best, abs(ce - ca))
+    return best
+
+
+def drift_report(
+    df: DataFrame,
+    value_col: str,
+    partition_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    psi_threshold: float = 0.2,
+) -> list[dict]:
+    """Per-partition PSI/KS vs the global distribution.
+
+    Returns a small driver-side list (one dict per partition):
+    {partition, n, psi, ks, passed}. The heavy lifting (the histogram)
+    is fully distributed; only n_partitions × n_bins counts reach the
+    driver.
+    """
+    hist = histogram(df, value_col, partition_col, lo, hi, n_bins)
+    rows = hist.collect()
+    global_rows: dict[int, float] = {}
+    parts: dict[object, list] = {}
+    for r in rows:
+        p, b, n = r[partition_col], r["bucket"], r["n"]
+        global_rows[b] = global_rows.get(b, 0.0) + n
+        parts.setdefault(p, []).append((b, n))
+    expected = _to_dist(list(global_rows.items()), n_bins)
+    out = []
+    for p, pr in sorted(parts.items(), key=lambda kv: str(kv[0])):
+        actual = _to_dist(pr, n_bins)
+        pv = psi(expected, actual)
+        out.append(
+            {
+                "partition": p,
+                "n": int(sum(n for _, n in pr)),
+                "psi": pv,
+                "ks": ks_stat(expected, actual),
+                "passed": pv <= psi_threshold,
+            }
+        )
+    return out

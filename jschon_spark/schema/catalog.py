@@ -1,0 +1,189 @@
+"""URI-keyed schema registry with $id/$anchor/$dynamicAnchor indexing
+and JSON-pointer fragment resolution.
+
+Reference analogue: jschon's ``Catalog`` (URI → schema cache + source
+routing, /root/reference/jschon/catalog/__init__.py:70-96,313-368) and
+the identity keywords ($id/$anchor registration,
+/root/reference/jschon/vocabulary/core.py:65-79,106-118,172-184).
+Ours is driver-only and compile-time: by the time a job runs, every
+$ref has been resolved to a schema fragment — executors never see URIs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import posixpath
+from typing import Any
+from urllib.parse import urljoin, urlparse, unquote
+
+Schema = Any  # dict | bool
+
+CORE_2020_12 = "https://json-schema.org/draft/2020-12/schema"
+
+
+def pointer_unescape(token: str) -> str:
+    """RFC 6901 token unescape (~1 → /, ~0 → ~; order matters)."""
+    return token.replace("~1", "/").replace("~0", "~")
+
+
+def pointer_escape(token: str) -> str:
+    return token.replace("~", "~0").replace("/", "~1")
+
+
+def pointer_evaluate(doc: Any, pointer: str) -> Any:
+    """Evaluate an RFC 6901 JSON pointer against a parsed document."""
+    if pointer in ("", "#"):
+        return doc
+    if pointer.startswith("#"):
+        pointer = pointer[1:]
+    if not pointer.startswith("/"):
+        raise KeyError(f"invalid JSON pointer: {pointer!r}")
+    node = doc
+    for raw in pointer.split("/")[1:]:
+        token = pointer_unescape(unquote(raw))
+        if isinstance(node, dict):
+            if token not in node:
+                raise KeyError(f"pointer {pointer!r}: key {token!r} not found")
+            node = node[token]
+        elif isinstance(node, list):
+            idx = int(token)
+            if not (0 <= idx < len(node)):
+                raise KeyError(f"pointer {pointer!r}: index {idx} out of range")
+            node = node[idx]
+        else:
+            raise KeyError(f"pointer {pointer!r}: cannot descend into leaf")
+    return node
+
+
+def _strip_fragment(uri: str) -> tuple[str, str]:
+    if "#" in uri:
+        base, frag = uri.split("#", 1)
+        return base, frag
+    return uri, ""
+
+
+class SchemaCatalog:
+    """Registry of schema resources keyed by absolute URI.
+
+    * ``register(schema, uri)`` indexes the document plus every embedded
+      ``$id`` resource, ``$anchor`` and ``$dynamicAnchor``.
+    * ``resolve(ref, base_uri)`` returns the target schema fragment and
+      the base URI in effect at that fragment.
+    * ``sources`` route unknown URI prefixes to local directories
+      (longest-prefix match), mirroring jschon's LocalSource routing
+      (/root/reference/jschon/catalog/__init__.py:131-164).
+    """
+
+    def __init__(self) -> None:
+        # uri (no fragment) -> (schema fragment, resource root)
+        self._resources: dict[str, Schema] = {}
+        # absolute anchor uri "base#name" -> schema fragment
+        self._anchors: dict[str, Schema] = {}
+        # dynamic anchors: base uri -> {name -> fragment}
+        self._dynamic_anchors: dict[str, dict[str, Schema]] = {}
+        # uri prefix -> local directory
+        self._sources: list[tuple[str, str]] = []
+
+    # -- source routing -------------------------------------------------
+    def add_local_source(self, uri_prefix: str, directory: str, suffix: str = ".json") -> None:
+        self._sources.append((uri_prefix, directory))
+        self._sources.sort(key=lambda kv: -len(kv[0]))
+        self._source_suffix = suffix
+
+    def _load_from_source(self, uri: str) -> Schema | None:
+        for prefix, directory in self._sources:
+            if uri.startswith(prefix):
+                rel = uri[len(prefix):]
+                path = os.path.join(directory, rel + getattr(self, "_source_suffix", ".json"))
+                if os.path.exists(path):
+                    with open(path, encoding="utf-8") as f:
+                        schema = parse_json_strict(f.read())
+                    self.register(schema, uri)
+                    return schema
+        return None
+
+    # -- registration ---------------------------------------------------
+    def register(self, schema: Schema, uri: str | None = None) -> str:
+        """Index a schema document. Returns its canonical (base) URI."""
+        if isinstance(schema, dict) and isinstance(schema.get("$id"), str):
+            sid, frag = _strip_fragment(schema["$id"])
+            uri = urljoin(uri or "", sid) if uri else sid
+        if uri is None:
+            # hierarchical scheme so urljoin-based relative resolution works
+            uri = f"https://jschon-spark.invalid/anon/{len(self._resources)}"
+        base, _ = _strip_fragment(uri)
+        self._walk_register(schema, base)
+        return base
+
+    def _walk_register(self, node: Schema, base: str) -> None:
+        if isinstance(node, bool):
+            self._resources.setdefault(base, node)
+            return
+        if not isinstance(node, dict):
+            return
+        if isinstance(node.get("$id"), str):
+            new_base, _ = _strip_fragment(urljoin(base, node["$id"]))
+            base = new_base
+        self._resources.setdefault(base, node)
+        if isinstance(node.get("$anchor"), str):
+            self._anchors[f"{base}#{node['$anchor']}"] = node
+        if isinstance(node.get("$dynamicAnchor"), str):
+            name = node["$dynamicAnchor"]
+            self._dynamic_anchors.setdefault(base, {})[name] = node
+            # a $dynamicAnchor also behaves as a plain anchor for direct refs
+            self._anchors.setdefault(f"{base}#{name}", node)
+        for key, val in node.items():
+            if key in ("enum", "const", "default", "examples"):
+                continue
+            if isinstance(val, dict):
+                self._walk_register(val, base)
+            elif isinstance(val, list):
+                for item in val:
+                    if isinstance(item, (dict,)):
+                        self._walk_register(item, base)
+
+    # -- resolution -------------------------------------------------------
+    def resolve(self, ref: str, base_uri: str) -> tuple[Schema, str]:
+        """Resolve ``ref`` against ``base_uri``; return (schema, new_base)."""
+        if ref.startswith("#"):
+            # fragment-only ref: same resource, independent of scheme
+            target = base_uri.split("#", 1)[0] + ref
+        else:
+            target = urljoin(base_uri, ref) if base_uri else ref
+        base, frag = _strip_fragment(target)
+        root = self._resources.get(base)
+        if root is None:
+            root = self._load_from_source(base)
+        if root is None:
+            raise KeyError(f"unresolvable schema URI: {target!r} (base {base_uri!r})")
+        if not frag:
+            return root, base
+        if frag.startswith("/"):
+            node = pointer_evaluate(root, "#" + frag)
+            # the pointed-at fragment may cross an embedded $id boundary
+            new_base = base
+            if isinstance(node, dict) and isinstance(node.get("$id"), str):
+                new_base, _ = _strip_fragment(urljoin(base, node["$id"]))
+            return node, new_base
+        # plain-name / dynamic anchor
+        anchored = self._anchors.get(f"{base}#{frag}")
+        if anchored is None:
+            raise KeyError(f"unresolvable anchor: {target!r}")
+        return anchored, base
+
+    def dynamic_anchor(self, base_uri: str, name: str) -> Schema | None:
+        return self._dynamic_anchors.get(base_uri, {}).get(name)
+
+    def has_dynamic_anchor(self, base_uri: str, name: str) -> bool:
+        return name in self._dynamic_anchors.get(base_uri, {})
+
+
+def parse_json_strict(text: str) -> Any:
+    """Parse JSON rejecting NaN/Infinity, as the reference does
+    (/root/reference/jschon/utils.py:66-70)."""
+
+    def _reject(_: str) -> float:
+        raise ValueError("NaN/Infinity not permitted in JSON instances")
+
+    return json.loads(text, parse_constant=_reject)
