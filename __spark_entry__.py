@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation pass on sf0.001.
+``queries()``    — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for the value-hash gate.
 """
 
 from __future__ import annotations
@@ -13,26 +11,185 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from jschon_spark import queries as Q
+
+_ENUM = "('en','de','fr','es')"
+_PASSED = (
+    "(doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL"
+    " AND (doc_id IS NULL OR doc_id >= 0)"
+    f" AND (lang IS NULL OR lang IN {_ENUM})"
+    " AND (n_chars IS NULL OR n_chars <= 600)"
+    " AND (text IS NULL OR length(text) >= 1)"
+    " AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$')))"
+)
+
+_STOP = {
+    "de": "['der','die','das','und','ist','nicht','ein','mit','zu','den']",
+    "en": "['the','and','of','to','a','in','is','it','that','for']",
+    "es": "['el','la','los','de','y','que','es','un','una','por']",
+    "fr": "['le','la','les','et','de','un','une','est','que','pour']",
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full keyword pass over sf0.001 documents (verdicts)."""
+    return Q.page_verdicts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # constraint engine (compiled keyword DAG over typed columns)
+        "page_verdicts": Q.page_verdicts,
+        "page_violations": Q.page_violations,
+        "partition_verdicts_docs": Q.partition_verdicts_docs,
+        # per-column stats (SURVEY.md §2.8)
+        "stats_lineitem": Q.stats_lineitem,
+        "stats_documents": Q.stats_documents,
+        # uniqueness (salted + plain) and verdict rollup
+        "dup_user_events": Q.dup_user_events,
+        "dup_user_events_salted": Q.dup_user_events_salted,
+        "dup_verdict_orders": Q.dup_verdict_orders,
+        # referential checks (anti-joins) + literal enum
+        "ref_lineitem_orders": Q.ref_lineitem_orders,
+        "ref_customer_nation": Q.ref_customer_nation,
+        "enum_event_type": Q.enum_event_type,
+        # distribution drift histogram
+        "hist_events_value": Q.hist_events_value,
+        # text analysis
+        "token_counts": Q.token_counts,
+        "quality_docs": Q.quality_docs,
+        "lang_id_docs": Q.lang_id_docs,
+        # dedup family
+        "exact_dup_docs": Q.exact_dup_docs,
+        "minhash_pairs": Q.minhash_pairs,
+        "simhash_pairs": Q.simhash_pairs,
+        # similarity search
+        "knn_brute": Q.knn_brute,
+        "knn_lsh": Q.knn_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "page_verdicts": f"SELECT doc_id, {_PASSED} AS passed FROM documents",
+        "page_violations": f"""
+            SELECT doc_id, 'required' AS keyword, '' AS instance_path FROM documents WHERE doc_id IS NULL
+            UNION ALL SELECT doc_id, 'required', '' FROM documents WHERE text IS NULL
+            UNION ALL SELECT doc_id, 'required', '' FROM documents WHERE lang IS NULL
+            UNION ALL SELECT doc_id, 'minimum', '/doc_id' FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
+            UNION ALL SELECT doc_id, 'enum', '/lang' FROM documents WHERE lang IS NOT NULL AND lang NOT IN {_ENUM}
+            UNION ALL SELECT doc_id, 'maximum', '/n_chars' FROM documents WHERE n_chars IS NOT NULL AND n_chars > 600
+            UNION ALL SELECT doc_id, 'minLength', '/text' FROM documents WHERE text IS NOT NULL AND length(text) < 1
+            UNION ALL SELECT doc_id, 'pattern', '/source' FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+        """,
+        "partition_verdicts_docs": f"""
+            SELECT source AS src, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN NOT {_PASSED} THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                   CAST(sum(CASE WHEN NOT {_PASSED} THEN 1 ELSE 0 END) AS BIGINT) = 0 AS passed
+            FROM documents GROUP BY source
+        """,
+        "stats_lineitem": " UNION ALL ".join(
+            f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                CAST(min({c}) AS DOUBLE) AS min_val, CAST(max({c}) AS DOUBLE) AS max_val
+                FROM lineitem"""
+            for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
+        "stats_documents": " UNION ALL ".join(
+            f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                CAST(min({c}) AS VARCHAR) AS min_str, CAST(max({c}) AS VARCHAR) AS max_str
+                FROM documents"""
+            for c in ["lang", "source", "n_chars"]
+        ),
+        "dup_user_events": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_dup
+            FROM events GROUP BY user_id HAVING count(*) > 1
+        """,
+        "dup_user_events_salted": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_dup
+            FROM events GROUP BY user_id HAVING count(*) > 1
+        """,
+        "dup_verdict_orders": """
+            WITH d AS (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1 HAVING count(*) > 1)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_dup_keys,
+                   (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM d) AS n_dup_rows,
+                   (SELECT coalesce(sum(c), 0) FROM d) = 0 AS passed
+        """,
+        "ref_lineitem_orders": """
+            SELECT l_orderkey, l_linenumber FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        """,
+        "ref_customer_nation": """
+            SELECT c_custkey, c_nationkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        """,
+        "enum_event_type": """
+            SELECT event_id, event_type FROM events
+            WHERE event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup')
+        """,
+        "hist_events_value": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
+            FROM documents
+        """,
+        "quality_docs": r"""
+            SELECT doc_id,
+                   CAST(coalesce(length(text), 0) AS INT) AS n_chars_q,
+                   CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')), 0) AS INT) AS n_tokens,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                        ELSE 0.0 END AS alpha_ratio
+            FROM documents
+        """,
+        "lang_id_docs": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ), h AS (
+              SELECT doc_id, [
+                {{'hits': len(list_filter(toks, x -> list_contains({_STOP['de']}, x))), 'lang': 'de'}},
+                {{'hits': len(list_filter(toks, x -> list_contains({_STOP['en']}, x))), 'lang': 'en'}},
+                {{'hits': len(list_filter(toks, x -> list_contains({_STOP['es']}, x))), 'lang': 'es'}},
+                {{'hits': len(list_filter(toks, x -> list_contains({_STOP['fr']}, x))), 'lang': 'fr'}}
+              ] AS hl FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN list_aggregate(hl, 'max').hits > 0
+                        THEN list_aggregate(hl, 'max').lang ELSE 'und' END AS lang_pred
+            FROM h
+        """,
+        "exact_dup_docs": r"""
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+                   CAST(count(*) AS BIGINT) AS n_dup
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "knn_brute": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_dot_product(e.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        # minhash_pairs / simhash_pairs / knn_lsh: hash-function-specific
+        # (xxhash64 / murmur3 are Spark-native) — rows-only checks.
+    }

@@ -167,30 +167,57 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(col: Column, bits: int = 64) -> Column:
-    """64-bit SimHash of the whitespace tokens, pure Column algebra.
+def simhash_counts(col: Column, bits: int = 64) -> Column:
+    """Per-bit ±1 sums over the whitespace tokens (array<bigint>[bits]).
 
-    Per token: xxhash64 → ±1 per bit; sum per bit over tokens; sign →
-    signature bit. Uses aggregate/zip_with so it fuses into the scan.
+    Per token: xxhash64 → ±1 per bit; sum per bit over tokens. Pure
+    aggregate/zip_with Column algebra, fuses into the scan.
     """
     toks = tokens(normalized(col))
-    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    # bit positions are compile-time ints (shift counts must be static),
+    # so the per-token ±1 vector is a literal 64-wide expression array
     counts = F.aggregate(
         toks,
         F.expr(f"array_repeat(0L, {bits})"),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                positions,
-                lambda i: F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1,
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1
+                    ).cast("bigint")
+                    for i in range(bits)
+                ]
             ),
-            lambda a, b: a + b.cast("bigint"),
+            lambda a, b: a + b,
         ),
     )
-    return F.aggregate(
-        F.zip_with(counts, positions, lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc.bitwiseOR(v),
+    return counts
+
+
+def simhash_from_counts(counts: Column, bits: int = 64) -> Column:
+    """Fold per-bit sums into the signature (sign of each sum → bit).
+
+    Pass a *materialized column* (not the raw counts expression) so the
+    64 element_at references share one evaluation.
+    """
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit = F.when(
+            F.element_at(counts, i + 1) > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), i),
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "sig") -> DataFrame:
+    """Add a 64-bit SimHash column in two projections (counts, then
+    signature) so the aggregate is evaluated once per row."""
+    return (
+        df.withColumn("__sh_counts", simhash_counts(F.col(text_col)))
+        .withColumn(out_col, simhash_from_counts(F.col("__sh_counts")))
+        .drop("__sh_counts")
     )
 
 
@@ -202,21 +229,25 @@ def simhash_near_duplicates(
     Candidates via 16-bit chunk equality (pigeonhole for ≤3 differing
     bits over 4 chunks), verified with bit_count(xor).
     """
-    base = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sig")
-    )
+    base = with_simhash(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        "__t",
+        "sig",
+    ).select("id", "sig")
     chunked = base.select(
         "id",
         "sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("chunk"),
-                    F.shiftright(F.col("sig"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("c"),
     ).select("id", "sig", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))

@@ -30,7 +30,7 @@ def column_stats(
 
     Output schema::
 
-        column:string, n_rows:bigint, n_nulls:bigint, n_distinct:bigint,
+        col_name:string, n_rows:bigint, n_nulls:bigint, n_distinct:bigint,
         min_str:string, max_str:string
 
     min/max are reported as strings so heterogeneous column types fit a
@@ -57,7 +57,7 @@ def column_stats(
     for c in columns:
         pairs.append(
             F.struct(
-                F.lit(c).alias("column"),
+                F.lit(c).alias("col_name"),
                 F.col("__n").alias("n_rows"),
                 (F.col("__n") - F.col(f"nn__{c}")).alias("n_nulls"),
                 F.col(f"nd__{c}").cast("bigint").alias("n_distinct"),
@@ -74,7 +74,7 @@ def column_stats(
 def numeric_stats(df: DataFrame, columns: list[str]) -> DataFrame:
     """Long-format numeric profile: min/max as doubles, exact counts.
 
-    Output: column, n_rows, n_nulls, n_distinct, min_val, max_val.
+    Output: col_name, n_rows, n_nulls, n_distinct, min_val, max_val.
     Exact distinct (shuffle per column) — test/oracle scale only.
     """
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
@@ -87,7 +87,7 @@ def numeric_stats(df: DataFrame, columns: list[str]) -> DataFrame:
     wide = df.agg(*aggs)
     pairs = [
         F.struct(
-            F.lit(c).alias("column"),
+            F.lit(c).alias("col_name"),
             F.col("__n").alias("n_rows"),
             (F.col("__n") - F.col(f"nn__{c}")).alias("n_nulls"),
             F.col(f"nd__{c}").cast("bigint").alias("n_distinct"),

@@ -1,0 +1,190 @@
+"""Headline queries over the driver's testdata tables.
+
+One function per operator family from SURVEY.md §2; each takes
+(spark, sf_dir) and returns a DataFrame whose column names match the
+DuckDB oracle SQL in ``__spark_entry__.oracle_sql`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jschon_spark.engine import ConstraintEngine
+from jschon_spark.operators import dedup, drift, referential, similarity, stats, textqa, uniqueness
+
+# The flagship document schema applied to the driver's `documents`
+# table (doc_id, text, lang, source, n_chars) — one keyword from each
+# family that the Column lowering handles, with thresholds chosen so
+# both verdicts occur in the data.
+DOC_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://example.org/doc-schema",
+    "type": "object",
+    "required": ["doc_id", "text", "lang"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "lang": {"enum": ["en", "de", "fr", "es"]},
+        "n_chars": {"type": "integer", "maximum": 600},
+        "text": {"type": "string", "minLength": 1},
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+    },
+}
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _compiled():
+    eng = ConstraintEngine()
+    return eng.compile(DOC_SCHEMA)
+
+
+def page_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = _compiled().apply_typed(docs, DOC_COLS)
+    return out.select("doc_id", "passed")
+
+
+def page_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = _compiled().apply_typed(docs, DOC_COLS)
+    v = out.filter(~F.col("passed")).select(
+        "doc_id", F.explode("violations").alias("v")
+    )
+    return v.select(
+        "doc_id",
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.instance_path").alias("instance_path"),
+    )
+
+
+def partition_verdicts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = _compiled().apply_typed(docs, DOC_COLS)
+    return (
+        out.groupBy(F.col("source").alias("src"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(~F.col("passed"), 1).otherwise(0)).alias("n_failed"),
+        )
+        .withColumn("passed", F.col("n_failed") == 0)
+    )
+
+
+def stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return stats.numeric_stats(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return stats.column_stats(docs, ["lang", "source", "n_chars"], exact_distinct=True)
+
+
+def dup_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return uniqueness.duplicate_keys(ev, "user_id")
+
+
+def dup_user_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return uniqueness.duplicate_keys_salted(ev, "user_id", buckets=16)
+
+
+def dup_verdict_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return uniqueness.uniqueness_verdict(orders, "o_orderkey")
+
+
+def ref_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return referential.referential_violations(
+        li, orders, "l_orderkey", "o_orderkey",
+        select=["l_orderkey", "l_linenumber"],
+    )
+
+
+def ref_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return referential.referential_violations(
+        cust, nation, "c_nationkey", "n_nationkey",
+        select=["c_custkey", "c_nationkey"],
+    )
+
+
+def enum_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return referential.enum_violations(
+        ev, "event_type", ["click", "view", "purchase", "signup"],
+        select=["event_id", "event_type"],
+    )
+
+
+def hist_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return drift.histogram(ev, "value", "day", lo=0.0, hi=500.0, n_bins=20)
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textqa.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = textqa.quality_features(docs, "text")
+    return out.select("doc_id", "n_chars_q", "n_tokens", "alpha_ratio")
+
+
+def exact_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_duplicate_groups(docs, "doc_id", "text").select(
+        "text_hash", "n_dup"
+    )
+
+
+def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=32, bands=8, threshold=0.5
+    ).select("id_a", "id_b")
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textqa.lang_id(docs, "text").select("doc_id", "lang_pred")
