@@ -1,0 +1,158 @@
+"""The full corpus validation pass — the north-star workload.
+
+One call = keyword verdicts + violations + per-column stats + salted
+uniqueness + referential lang check + per-day drift + per-partition
+rollup over a web-page table of the north-rule shape
+(url, warc_ts, html, text, lang), with optional checkpoint/resume.
+
+Scan economics (designed for 10^12 rows):
+  * the keyword pass is one narrow projection fused by whole-stage
+    codegen — zero shuffle;
+  * per-partition rollup, stats, histogram and uniqueness each shuffle
+    only aggregated rows (map-side combine), never documents;
+  * the lang referential check broadcasts the ~180-row dimension;
+  * with checkpointing enabled, work is submitted per day-partition and
+    completed partitions are skipped on resume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jschon_spark.engine import ConstraintEngine
+from jschon_spark.operators import drift, referential, stats, uniqueness
+from jschon_spark.plans.manifests import (
+    ManifestStore,
+    schema_fingerprint,
+)
+from jschon_spark.sources.extract import EXTRACTOR_VERSION
+from jschon_spark.sources.webpages import lang_dim
+
+# FIXTURES.md §4 — the flagship page schema (2020-12) over the
+# north-rule row rendered as a JSON object.
+PAGE_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://example.org/page-schema",
+    "type": "object",
+    "required": ["url", "warc_ts", "text", "lang"],
+    "properties": {
+        "url": {"type": "string", "pattern": "^https?://", "maxLength": 2048},
+        "warc_ts": {"type": "string", "format": "date-time"},
+        "text": {"type": "string", "minLength": 1, "maxLength": 1000000},
+        "lang": {"type": "string", "pattern": "^[a-z]{2}$"},
+    },
+    "additionalProperties": False,
+}
+
+PAGE_DOC_COLS = ["url", "warc_ts", "text", "lang"]
+
+
+@dataclass
+class CorpusReport:
+    verdicts: DataFrame
+    violations: DataFrame
+    partition_verdicts: DataFrame
+    stats: DataFrame
+    duplicate_urls: DataFrame
+    lang_violations: DataFrame
+    drift: list[dict] = field(default_factory=list)
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+def validate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    schema: dict | None = None,
+    text_len_bins: int = 20,
+    text_len_hi: float = 2000.0,
+    collect_metrics: bool = True,
+) -> CorpusReport:
+    """Run the full keyword+stats+uniqueness+referential+drift pass."""
+    schema = schema or PAGE_SCHEMA
+    eng = ConstraintEngine(assert_formats=True)
+    compiled = eng.compile(schema)
+
+    day = F.date_format("warc_ts", "yyyy-MM-dd")
+    validated = compiled.apply_typed(docs, PAGE_DOC_COLS).withColumn("day", day)
+
+    verdicts = validated.select("url", "day", "passed")
+    violations = compiled.violations_table(validated, "url")
+    partition_verdicts = compiled.partition_verdicts(validated, "day")
+
+    col_stats = stats.column_stats(docs, ["url", "text", "lang"])
+    dup_urls = uniqueness.duplicate_keys_salted(
+        docs.filter(F.col("url").isNotNull()), "url", buckets=64
+    )
+    lang_viol = referential.referential_violations(
+        docs, lang_dim(spark), "lang", "lang_code", select=["url", "lang"]
+    )
+
+    with_len = docs.withColumn("day", day).withColumn(
+        "text_len", F.length("text").cast("double")
+    )
+    drift_rows = drift.drift_report(
+        with_len, "text_len", "day", lo=0.0, hi=text_len_hi, n_bins=text_len_bins
+    )
+
+    report = CorpusReport(
+        verdicts=verdicts,
+        violations=violations,
+        partition_verdicts=partition_verdicts,
+        stats=col_stats,
+        duplicate_urls=dup_urls,
+        lang_violations=lang_viol,
+        drift=drift_rows,
+    )
+    if collect_metrics:
+        pv = partition_verdicts.agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_failed").alias("n_failed"),
+        ).collect()[0]
+        report.metrics = {
+            "n_docs": pv["n_docs"],
+            "n_failed": pv["n_failed"],
+            "n_duplicate_url_groups": dup_urls.count(),
+            "n_lang_violations": lang_viol.count(),
+            "n_drift_partitions_failed": sum(1 for d in drift_rows if not d["passed"]),
+            "constraint_version": schema_fingerprint(schema),
+            "extractor_version": EXTRACTOR_VERSION,
+        }
+    return report
+
+
+def validate_corpus_checkpointed(
+    spark: SparkSession,
+    docs: DataFrame,
+    manifest_root: str,
+    partition_snapshots: dict[str, str],
+    schema: dict | None = None,
+) -> dict[str, dict]:
+    """Checkpointed per-day run: skips days whose manifest matches
+    (snapshot_id, constraint_version); publishes a manifest with
+    metrics after each day completes. Returns newly written manifests.
+    """
+    schema = schema or PAGE_SCHEMA
+    version = schema_fingerprint(schema)
+    store = ManifestStore(manifest_root)
+    eng = ConstraintEngine(assert_formats=True)
+    compiled = eng.compile(schema)
+    day = F.date_format("warc_ts", "yyyy-MM-dd")
+
+    def job(partition: str) -> dict:
+        part_docs = docs.filter(day == partition)
+        validated = compiled.apply_typed(part_docs, PAGE_DOC_COLS)
+        row = validated.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(~F.col("passed"), 1).otherwise(0)).alias("n_failed"),
+        ).collect()[0]
+        return {"n_docs": row["n_docs"], "n_failed": row["n_failed"] or 0}
+
+    from jschon_spark.plans.manifests import run_partitioned
+
+    return run_partitioned(
+        partition_snapshots, version, store, job, EXTRACTOR_VERSION
+    )
