@@ -1,0 +1,93 @@
+"""Benchmark harness — headline queries + the corpus validation pass.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] (default 32)
+  BENCH_WEBPAGES_ROWS rows for the synthetic corpus pass (default 200k)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> int:
+    """Materialize fully without driver collection (noop sink)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_pages = int(os.environ.get("BENCH_WEBPAGES_ROWS", "200000"))
+
+    from jschon_spark.session import get_spark
+
+    spark = get_spark(app_name="jschon_spark_bench", cores=cpus)
+
+    import __spark_entry__ as entrymod
+    from jschon_spark.pipeline import validate_corpus
+    from jschon_spark.sources.webpages import generate_webpages
+
+    timings: dict[str, float] = {}
+    qs = entrymod.queries()
+    # warm the JVM/codegen once with the cheapest query
+    try:
+        force(qs["stats_lineitem"](spark, sf_dir))
+    except Exception:
+        pass
+
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 4)
+        except Exception as e:  # a failing query must not kill the bench
+            timings[name] = -1.0
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+
+    # the north-star workload: full keyword+stats+drift pass, docs/sec.
+    # The corpus is materialized to parquet first so the timed pass
+    # reads a table (scan + validate), not the generator.
+    corpus_path = os.environ.get(
+        "BENCH_CORPUS_PATH", f"/tmp/jschon_spark_bench_corpus_{n_pages}"
+    )
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        generate_webpages(spark, n_pages).write.mode("overwrite").parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    report = validate_corpus(spark, docs, collect_metrics=False)
+    force(report.verdicts)
+    force(report.partition_verdicts)
+    force(report.stats)
+    force(report.duplicate_urls)
+    force(report.lang_violations)
+    corpus_sec = time.time() - t0
+    timings["corpus_full_pass"] = round(corpus_sec, 4)
+
+    total = round(sum(t for t in timings.values() if t > 0), 4)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "docs_per_sec": round(n_pages / corpus_sec, 1),
+        "corpus_rows": n_pages,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

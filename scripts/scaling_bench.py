@@ -1,0 +1,109 @@
+"""Two-parallelism scaling evidence for the north rule.
+
+The rule's criterion (≥0.8 throughput scaling efficiency from N to 4N
+executors) cannot use a real cluster in this sandbox, so per BASELINE.md
+we run the identical corpus validation pass at local[8] and local[32]
+on the same materialized parquet input and report docs/sec at both plus
+efficiency = (throughput_32 / throughput_8) / 4.
+
+Each parallelism level runs in a fresh subprocess (one JVM per master
+setting). Results append to BENCH_scaling.json and should be summarized
+in BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [rows] [--cores 8,32]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from jschon_spark.session import get_spark
+from jschon_spark.pipeline import validate_corpus
+
+spark = get_spark(app_name="scaling_bench", cores={cores})
+
+docs = spark.read.parquet({path!r})
+# warm-up: JIT + codegen + file listing (not timed)
+docs.limit(1000).count()
+
+best = None
+for _ in range({reps}):
+    t0 = time.time()
+    rep = validate_corpus(spark, docs, collect_metrics=False)
+    for df in (rep.verdicts, rep.partition_verdicts, rep.stats,
+               rep.duplicate_urls, rep.lang_violations):
+        df.write.mode("overwrite").format("noop").save()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print("RESULT " + json.dumps({{"cores": {cores}, "sec": best}}))
+"""
+
+
+def run_level(cores: int, path: str, reps: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, path=path, reps=reps)
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no result from local[{cores}]:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    cores_list = [8, 32]
+    for a in sys.argv[2:]:
+        if a.startswith("--cores"):
+            cores_list = [int(x) for x in a.split("=", 1)[1].split(",")]
+    reps = int(os.environ.get("SCALING_REPS", "2"))
+
+    path = f"/tmp/jschon_spark_scaling_corpus_{rows}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        print(f"materializing {rows} rows at {path} ...", file=sys.stderr)
+        code = (
+            f"import sys; sys.path.insert(0, {REPO!r})\n"
+            "from jschon_spark.session import get_spark\n"
+            "from jschon_spark.sources.webpages import generate_webpages\n"
+            "spark = get_spark(cores=32)\n"
+            f"generate_webpages(spark, {rows}, partitions=64).write.mode('overwrite').parquet({path!r})\n"
+        )
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=1800)
+
+    results = {}
+    for cores in cores_list:
+        print(f"running local[{cores}] ...", file=sys.stderr)
+        r = run_level(cores, path, reps)
+        r["docs_per_sec"] = round(rows / r["sec"], 1)
+        results[f"local[{cores}]"] = r
+        print(f"  local[{cores}]: {r['sec']:.2f}s = {r['docs_per_sec']} docs/s", file=sys.stderr)
+
+    lo, hi = min(cores_list), max(cores_list)
+    tlo = results[f"local[{lo}]"]["docs_per_sec"]
+    thi = results[f"local[{hi}]"]["docs_per_sec"]
+    eff = (thi / tlo) / (hi / lo)
+    out = {
+        "rows": rows,
+        "levels": results,
+        "scaling_efficiency": round(eff, 3),
+        "criterion": ">=0.8",
+        "passed": eff >= 0.8,
+    }
+    print(json.dumps(out, indent=1))
+    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from jschon_spark.session import get_spark
+
+    s = get_spark(app_name="jschon_spark_tests", cores=8, shuffle_partitions=8)
+    yield s

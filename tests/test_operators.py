@@ -1,0 +1,200 @@
+"""Operator unit tests: uniqueness, stats, drift, dedup, similarity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jschon_spark.operators import dedup, drift, referential, similarity, stats, textqa, uniqueness
+
+
+@pytest.fixture(scope="module")
+def kv_df(spark):
+    rows = [(i % 7, f"v{i}") for i in range(100)] + [(99, "hot")] * 50
+    return spark.createDataFrame(rows, "k long, v string").cache()
+
+
+def test_duplicate_keys_plain_equals_salted(spark, kv_df):
+    plain = {(r.k, r.n_dup) for r in uniqueness.duplicate_keys(kv_df, "k").collect()}
+    salted = {
+        (r.k, r.n_dup)
+        for r in uniqueness.duplicate_keys_salted(kv_df, "k", buckets=8).collect()
+    }
+    assert plain == salted
+    assert (99, 50) in plain
+
+
+def test_uniqueness_verdict(spark):
+    df = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k long")
+    row = uniqueness.uniqueness_verdict(df, "k").collect()[0]
+    assert (row.n_rows, row.n_dup_keys, row.n_dup_rows, row.passed) == (4, 1, 2, False)
+    df2 = spark.createDataFrame([(1,), (2,)], "k long")
+    assert uniqueness.uniqueness_verdict(df2, "k").collect()[0].passed is True
+
+
+def test_column_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "c")], "x long, s string"
+    )
+    rows = {r.col_name: r for r in stats.column_stats(df, exact_distinct=True).collect()}
+    assert rows["x"].n_rows == 4 and rows["x"].n_nulls == 1 and rows["x"].n_distinct == 2
+    assert rows["x"].min_str == "1" and rows["x"].max_str == "2"
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 3
+
+
+def test_referential_and_enum(spark):
+    fact = spark.createDataFrame([("en",), ("zz",), (None,)], "lang string")
+    dim = spark.createDataFrame([("en",), ("de",)], "code string")
+    viols = referential.referential_violations(fact, dim, "lang", "code")
+    got = sorted([r.lang for r in viols.collect()], key=str)
+    assert got == [None, "zz"]
+    ev = referential.enum_violations(fact, "lang", ["en", "de"])
+    assert sorted([r.lang for r in ev.collect()], key=str) == [None, "zz"]
+    # None allowed
+    ev2 = referential.enum_violations(fact, "lang", ["en", None])
+    assert [r.lang for r in ev2.collect()] == ["zz"]
+
+
+def test_drift_psi_zero_for_identical(spark):
+    rows = [(float(i % 10), "a") for i in range(1000)] + [
+        (float(i % 10), "b") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "v double, p string")
+    rep = drift.drift_report(df, "v", "p", lo=0.0, hi=10.0, n_bins=10)
+    assert all(abs(d["psi"]) < 1e-9 and d["passed"] for d in rep)
+
+
+def test_drift_detects_shift(spark):
+    rows = [(float(i % 10), "ref") for i in range(1000)] + [
+        (9.0, "shifted") for _ in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "v double, p string")
+    rep = {d["partition"]: d for d in drift.drift_report(df, "v", "p", 0.0, 10.0, 10)}
+    assert not rep["shifted"]["passed"]
+    assert rep["shifted"]["psi"] > rep["ref"]["psi"]
+
+
+def test_psi_ks_math():
+    assert drift.psi([0.5, 0.5], [0.5, 0.5]) == 0.0
+    assert drift.ks_stat([1.0, 0.0], [0.0, 1.0]) == 1.0
+    assert drift.psi([0.9, 0.1], [0.1, 0.9]) > 1.0
+
+
+def test_exact_duplicate_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unrelated")],
+        "id long, text string",
+    )
+    groups = dedup.exact_duplicate_groups(df, "id", "text").collect()
+    assert len(groups) == 1 and groups[0].doc_ids == [1, 2]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " ok"),  # near-dup of 1
+        (3, "completely different words that share nothing at all with others"),
+        (4, "another unrelated document about spark schema validation engines"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = dedup.minhash_near_duplicates(
+        df, "id", "text", shingle_n=2, num_hashes=32, bands=16, threshold=0.5
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [(1, "a b c d e"), (2, "a b c d e f"), (3, "x y z w q")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "id", "text", shingle_n=2, threshold=0.5)
+    got = {(p.id_a, p.id_b): round(p.jaccard, 3) for p in pairs.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == round(4 / 5, 3)
+
+
+def test_simhash_identical_and_near(spark):
+    rows = [
+        (1, "spark schema validation engine runs fast on large data sets"),
+        (2, "spark schema validation engine runs fast on large data sets"),
+        (3, "entirely different content with nothing shared whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = dedup.simhash_near_duplicates(df, "id", "text", max_hamming=0).collect()
+    assert {(p.id_a, p.id_b, p.hamming) for p in pairs} == {(1, 2, 0)}
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float32")
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.brute_force_topk(df, queries, k=3).collect()
+
+    v = vecs.astype("float64")
+    norms = np.linalg.norm(v, axis=1)
+    for q in range(2):
+        cos = (v @ v[q]) / (norms * norms[q])
+        want = list(np.argsort(-cos, kind="stable")[:3])
+        have = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == q]
+        assert have == want
+
+
+def test_lsh_topk_subset_of_brute(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(50, 16).astype("float32")
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.lsh_topk(df, queries, dim=16, k=5, n_planes=4).collect()
+    # query vector itself always lands in its own bucket at rank 1
+    assert got and got[0].vec_id == 0 and got[0].rank == 1
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_duplicates(
+        df, dim=4, n_planes=6, min_cos=0.99
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, ""), (3, None), (4, "a, b! c?")],
+        "id long, text string",
+    )
+    toks = {r.id: r.n for r in df.select("id", textqa.token_count(F.col("text")).alias("n")).collect()}
+    assert toks[1] == 2 and toks[2] == 0 and toks[4] == 3
+    q = {r.id: r for r in textqa.quality_features(df, "text").collect()}
+    assert q[1].n_tokens == 2 and q[2].n_tokens == 0
+    assert q[4].punct_ratio > 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house that is big"),
+            (2, "der hund und die katze ist nicht ein problem mit den"),
+            (3, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.lang_pred for r in textqa.lang_id(df, "text").collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "und"
