@@ -197,6 +197,12 @@ class Evaluator:
         self.catalog = catalog or SchemaCatalog()
         self.assert_formats = assert_formats
         self.formats = dict(FORMAT_VALIDATORS)
+        # user-registered formats (functions/registry.py) join the
+        # built-ins, mirroring jschon's format_validator plugin surface
+        from jschon_spark.functions.registry import FORMAT_REGISTRY
+
+        for name, entry in FORMAT_REGISTRY.items():
+            self.formats[name] = (entry.python_fn, entry.instance_types)
         if format_validators:
             self.formats.update(format_validators)
         self._pattern_cache: dict[str, re.Pattern] = {}
@@ -537,6 +543,15 @@ class Evaluator:
                     merge_annotations(o)
                     if not o.valid:
                         absorb(o, "else")
+
+        # ---- custom keywords (functions/registry.py) ---------------------
+        from jschon_spark.functions.registry import KEYWORD_REGISTRY
+
+        for kw_name, entry in KEYWORD_REGISTRY.items():
+            if kw_name in schema and jt in entry.instance_types:
+                pred = entry.python_fn(schema[kw_name])
+                if not pred(instance):
+                    err(kw_name, entry.error)
 
         # ---- unevaluated* (depend on every sibling's annotations) --------
         if "unevaluatedItems" in schema and jt == "array":

@@ -213,6 +213,18 @@ class ColumnLowerer:
         # ---- combinators --------------------------------------------------
         self._lower_combinators(schema, dtype, col, base_uri, ipath, kpath, add)
 
+        # ---- custom keywords (functions/registry.py) -----------------------
+        from jschon_spark.functions.registry import KEYWORD_REGISTRY
+
+        for kw_name, entry in KEYWORD_REGISTRY.items():
+            if kw_name in schema and json_t in entry.instance_types:
+                if entry.column_fn is None:
+                    raise CannotLower(
+                        f"custom keyword {kw_name!r} has no Column lowering -> batch"
+                    )
+                pred = entry.column_fn(schema[kw_name], col, dtype)
+                add(*_check(pred, kw_name, ipath, kpath, col, entry.error))
+
         if not valids:
             return F.lit(True), _EMPTY_ARR()
         valid = valids[0]
@@ -667,8 +679,22 @@ class ColumnLowerer:
 
     def _lower_format(self, fmt: str, scol: Column, ipath: Column, kpath: str):
         rx = self._FORMAT_REGEX.get(fmt)
-        if rx is None:
-            raise CannotLower(f"format {fmt!r} has no expression lowering -> batch")
-        return _check(
-            scol.rlike(rx), "format", ipath, kpath, scol, f"not a valid {fmt}"
-        )
+        if rx is not None:
+            pred = scol.rlike(rx)
+            return _check(pred, "format", ipath, kpath, scol, f"not a valid {fmt}")
+        from jschon_spark.functions.registry import FORMAT_REGISTRY
+        from jschon_spark.evaluator import FORMAT_VALIDATORS
+
+        entry = FORMAT_REGISTRY.get(fmt)
+        if entry is not None:
+            if entry.column_fn is None:
+                raise CannotLower(f"format {fmt!r} has no Column lowering -> batch")
+            return _check(
+                entry.column_fn(scol), "format", ipath, kpath, scol, f"not a valid {fmt}"
+            )
+        if fmt in FORMAT_VALIDATORS:
+            # built-in python validator without a Column form -> batch
+            raise CannotLower(f"format {fmt!r} needs the batch evaluator")
+        # unknown format: annotation only, never asserts (reference
+        # behavior, format.py:14-32) -> no runtime check
+        return F.lit(True), _EMPTY_ARR()

@@ -1,0 +1,118 @@
+"""Streaming validation smoke (memory sink) + output formats + registry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jschon_spark.engine import ConstraintEngine
+from jschon_spark.output import basic, create_output, flag
+from jschon_spark.pipeline import PAGE_DOC_COLS, PAGE_SCHEMA
+from jschon_spark.sources.webpages import generate_webpages
+from jschon_spark.streaming.validate import (
+    validate_stream,
+    windowed_verdicts,
+)
+
+
+@pytest.fixture(scope="module")
+def validated(spark):
+    docs = generate_webpages(spark, 2000)
+    eng = ConstraintEngine(assert_formats=True)
+    return eng.compile(PAGE_SCHEMA).apply_typed(docs, PAGE_DOC_COLS).cache()
+
+
+def test_flag_and_basic_formats(spark, validated):
+    f = flag(validated, "url")
+    assert f.columns == ["url", "valid"]
+    b = basic(validated, "url")
+    assert b.columns == ["url", "keyword", "keywordLocation", "instanceLocation", "error"]
+    assert b.count() > 0
+    assert create_output(validated, "flag", "url").count() == validated.count()
+    with pytest.raises(ValueError):
+        create_output(validated, "nope", "url")
+
+
+def test_detailed_format(spark, validated):
+    bad = validated.filter(~F.col("passed")).select("url").first()
+    doc = create_output(validated, "detailed", "url", doc_id=bad.url)
+    assert doc["valid"] is False
+    total_errors = len(doc["errors"]) + sum(
+        len(c["errors"]) for c in doc.get("children", [])
+    )
+    assert total_errors > 0
+
+
+def test_streaming_validation_memory_sink(spark, tmp_path):
+    # materialize a small corpus as the file-stream source
+    src = str(tmp_path / "stream_src")
+    generate_webpages(spark, 1000).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    eng = ConstraintEngine(assert_formats=True)
+    compiled = eng.compile(PAGE_SCHEMA)
+    validated = validate_stream(compiled, stream, PAGE_DOC_COLS)
+    rollup = windowed_verdicts(validated, "warc_ts", "24 hours", "48 hours")
+
+    q = (
+        rollup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("verdict_windows")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM verdict_windows").collect()
+    # append mode only emits watermark-closed windows; with availableNow
+    # over a bounded source the final watermark closes all but the last
+    assert rows, "no windows emitted"
+    assert {c for c in spark.table("verdict_windows").columns} == {
+        "window_start", "window_end", "n_docs", "n_failed", "passed"
+    }
+    # batch ground truth: same plan, same data
+    batch = compiled.apply_typed(spark.read.parquet(src), PAGE_DOC_COLS)
+    got_failed = sum(r.n_failed for r in rows)
+    want_failed_upper = batch.filter(~F.col("passed")).count()
+    assert 0 < got_failed <= want_failed_upper
+
+
+def test_custom_format_and_keyword_registry(spark):
+    from jschon_spark.functions import custom_keyword, format_validator
+    from jschon_spark.functions.registry import FORMAT_REGISTRY, KEYWORD_REGISTRY
+
+    @format_validator(
+        "even-digits", column_fn=lambda c: (F.length(c) % 2) == 0
+    )
+    def _even_digits(v):
+        return isinstance(v, str) and len(v) % 2 == 0
+
+    @custom_keyword(
+        "startsWith",
+        column_fn=lambda kwv, col, dtype: col.startswith(kwv),
+        error="value does not start with the prefix",
+    )
+    def _starts_with(kwv):
+        return lambda inst: isinstance(inst, str) and inst.startswith(kwv)
+
+    try:
+        from jschon_spark.evaluator import Evaluator
+
+        ev = Evaluator(assert_formats=True)
+        assert ev.validate({"format": "even-digits"}, "abcd").valid
+        assert not ev.validate({"format": "even-digits"}, "abc").valid
+        assert ev.validate({"startsWith": "ab"}, "abc").valid
+        assert not ev.validate({"startsWith": "ab"}, "xbc").valid
+
+        # column path
+        eng = ConstraintEngine(assert_formats=True)
+        cs = eng.compile(
+            {"properties": {"s": {"type": "string", "startsWith": "ab", "format": "even-digits"}}}
+        )
+        df = spark.createDataFrame([("abcd",), ("abc",), ("xb",)], "s string")
+        got = [r.passed for r in cs.apply_typed(df).collect()]
+        assert got == [True, False, False]
+    finally:
+        FORMAT_REGISTRY.pop("even-digits", None)
+        KEYWORD_REGISTRY.pop("startsWith", None)
