@@ -66,6 +66,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_brute": Q.knn_brute,
         "knn_lsh": Q.knn_lsh,
+        # dynamic-JSON validation (Arrow batch evaluator on a real column)
+        "props_json_verdicts": Q.props_json_verdicts,
+        "props_json_violations": Q.props_json_violations,
+        # corpus text ops
+        "top_tokens": Q.top_tokens,
+        "quality_filter": Q.quality_filter,
     }
 
 
@@ -189,6 +195,42 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "props_json_verdicts": """
+            SELECT event_id,
+                   (json_type(props, '$.k') IN ('UBIGINT','BIGINT')
+                    AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
+                    AND len(list_filter(json_keys(props), k -> k <> 'k')) = 0) AS passed
+            FROM events
+        """,
+        "props_json_violations": """
+            SELECT event_id, 'required' AS keyword, '' AS instance_path FROM events
+            WHERE json_type(props, '$.k') IS NULL
+            UNION ALL SELECT event_id, 'type', '/k' FROM events
+            WHERE json_type(props, '$.k') IS NOT NULL
+              AND json_type(props, '$.k') NOT IN ('UBIGINT','BIGINT')
+            UNION ALL SELECT event_id, 'minimum', '/k' FROM events
+            WHERE json_type(props, '$.k') IN ('UBIGINT','BIGINT')
+              AND CAST(json_extract(props, '$.k') AS BIGINT) < 0
+            UNION ALL SELECT event_id, 'maximum', '/k' FROM events
+            WHERE json_type(props, '$.k') IN ('UBIGINT','BIGINT')
+              AND CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        """,
+        "top_tokens": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+              FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "quality_filter": r"""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                          ELSE 0.0 END AS alpha_ratio
+              FROM documents)
+            WHERE n_tokens >= 30 AND alpha_ratio >= 0.7
         """,
         # minhash_pairs / simhash_pairs / knn_lsh: hash-function-specific
         # (xxhash64 / murmur3 are Spark-native) — rows-only checks.

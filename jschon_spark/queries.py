@@ -188,3 +188,54 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textqa.lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+# schema for the events.props JSON column (dynamic-JSON path: exercises
+# the Arrow batch evaluator on real data)
+PROPS_SCHEMA = {
+    "$id": "https://example.org/props-schema",
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}},
+    "additionalProperties": False,
+}
+
+
+def props_json_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    eng = ConstraintEngine()
+    out = eng.compile(PROPS_SCHEMA).apply_json(ev, "props")
+    return out.select("event_id", "passed")
+
+
+def props_json_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    eng = ConstraintEngine()
+    out = eng.compile(PROPS_SCHEMA).apply_json(ev, "props")
+    v = out.filter(~F.col("passed")).select("event_id", F.explode("violations").alias("v"))
+    return v.select(
+        "event_id",
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.instance_path").alias("instance_path"),
+    )
+
+
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: top 20 whitespace tokens by count."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(textqa.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality gate: docs passing token/alpha thresholds."""
+    docs = load(spark, sf_dir, "documents")
+    q = textqa.quality_features(docs, "text")
+    return q.filter(
+        (F.col("n_tokens") >= 30) & (F.col("alpha_ratio") >= 0.7)
+    ).select("doc_id")
