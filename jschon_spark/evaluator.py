@@ -212,6 +212,14 @@ class Evaluator:
         base = self.catalog.register(schema, uri)
         return self._eval(schema, instance, base, [base], "", "")
 
+    @staticmethod
+    def _dialect_of(uri: str) -> str | None:
+        if "2019-09" in uri:
+            return "2019-09"
+        if "2020-12" in uri or "draft/next" in uri:
+            return "2020-12"
+        return None
+
     # -- helpers ----------------------------------------------------------
     def _pat(self, pattern: str) -> re.Pattern:
         p = self._pattern_cache.get(pattern)
@@ -228,6 +236,7 @@ class Evaluator:
         dynamic_scope: list[str],
         ipath: str,
         kpath: str,
+        dialect: str = "2020-12",
     ) -> Outcome:
         if isinstance(schema, bool):
             if schema:
@@ -250,6 +259,10 @@ class Evaluator:
             base_uri = new_base
         if not dynamic_scope or dynamic_scope[-1] != base_uri:
             dynamic_scope = dynamic_scope + [base_uri]
+        if isinstance(schema.get("$schema"), str):
+            d = self._dialect_of(schema["$schema"])
+            if d:
+                dialect = d
 
         out = Outcome(True)
         jt = json_type(instance)
@@ -270,6 +283,7 @@ class Evaluator:
                 dynamic_scope,
                 ipath + i_suffix,
                 f"{kpath}/{kw_suffix}",
+                dialect,
             )
 
         def absorb(o: Outcome, keyword: str, msg: str | None = None) -> None:
@@ -289,7 +303,7 @@ class Evaluator:
         # ---- $ref / $dynamicRef (in-place, annotations pass through) ---
         if "$ref" in schema:
             target, tbase = self.catalog.resolve(schema["$ref"], base_uri)
-            o = self._eval(target, instance, tbase, dynamic_scope, ipath, f"{kpath}/$ref")
+            o = self._eval(target, instance, tbase, dynamic_scope, ipath, f"{kpath}/$ref", dialect)
             merge_annotations(o)
             if not o.valid:
                 absorb(o, "$ref")
@@ -310,10 +324,25 @@ class Evaluator:
                     if cand is not None:
                         target, tbase = cand, scope_base
                         break
-            o = self._eval(target, instance, tbase, dynamic_scope, ipath, f"{kpath}/$dynamicRef")
+            o = self._eval(target, instance, tbase, dynamic_scope, ipath, f"{kpath}/$dynamicRef", dialect)
             merge_annotations(o)
             if not o.valid:
                 absorb(o, "$dynamicRef")
+
+        if "$recursiveRef" in schema:
+            # 2019-09 legacy dynamic scoping: value is always "#"
+            # (/root/reference/jschon/vocabulary/legacy.py:16-53)
+            target, tbase = self.catalog.resolve(schema["$recursiveRef"], base_uri)
+            if isinstance(target, dict) and target.get("$recursiveAnchor") is True:
+                for scope_base in dynamic_scope:  # outermost first
+                    if self.catalog.has_recursive_anchor(scope_base):
+                        target, tbase = self.catalog.resolve("#", scope_base)
+                        break
+            o = self._eval(target, instance, tbase, dynamic_scope, ipath,
+                           f"{kpath}/$recursiveRef", dialect)
+            merge_annotations(o)
+            if not o.valid:
+                absorb(o, "$recursiveRef")
 
         # ---- validation keywords (leaf predicates) ---------------------
         if "type" in schema:
@@ -398,7 +427,25 @@ class Evaluator:
 
         # ---- array applicators ------------------------------------------
         contains_count = None
-        if jt == "array":
+        if jt == "array" and dialect == "2019-09" and isinstance(schema.get("items"), list):
+            # 2019-09 tuple-form items + additionalItems
+            # (/root/reference/jschon/vocabulary/legacy.py:56-211)
+            tuple_items = schema["items"]
+            n_prefix = min(len(tuple_items), len(instance))
+            for i in range(n_prefix):
+                o = sub(tuple_items[i], instance[i], f"items/{i}", f"/{i}")
+                if o.valid:
+                    out.evaluated_items.add(i)
+                else:
+                    absorb(o, "items")
+            if "additionalItems" in schema:
+                for i in range(len(tuple_items), len(instance)):
+                    o = sub(schema["additionalItems"], instance[i], "additionalItems", f"/{i}")
+                    if o.valid:
+                        out.evaluated_items.add(i)
+                    else:
+                        absorb(o, "additionalItems")
+        elif jt == "array":
             n_prefix = 0
             if "prefixItems" in schema:
                 n_prefix = min(len(schema["prefixItems"]), len(instance))

@@ -82,6 +82,8 @@ class SchemaCatalog:
         self._anchors: dict[str, Schema] = {}
         # dynamic anchors: base uri -> {name -> fragment}
         self._dynamic_anchors: dict[str, dict[str, Schema]] = {}
+        # 2019-09 $recursiveAnchor: true at a resource root
+        self._recursive_anchors: set[str] = set()
         # uri prefix -> local directory
         self._sources: list[tuple[str, str]] = []
 
@@ -133,6 +135,8 @@ class SchemaCatalog:
             self._dynamic_anchors.setdefault(base, {})[name] = node
             # a $dynamicAnchor also behaves as a plain anchor for direct refs
             self._anchors.setdefault(f"{base}#{name}", node)
+        if node.get("$recursiveAnchor") is True and self._resources.get(base) is node:
+            self._recursive_anchors.add(base)
         for key, val in node.items():
             if key in ("enum", "const", "default", "examples"):
                 continue
@@ -177,6 +181,9 @@ class SchemaCatalog:
 
     def has_dynamic_anchor(self, base_uri: str, name: str) -> bool:
         return name in self._dynamic_anchors.get(base_uri, {})
+
+    def has_recursive_anchor(self, base_uri: str) -> bool:
+        return base_uri in self._recursive_anchors
 
 
 def parse_json_strict(text: str) -> Any:

@@ -168,3 +168,21 @@ FORMAT_CASES = [
     {"description": "format uuid", "schema": {"format": "uuid"},
      "tests": [("123e4567-e89b-12d3-a456-426614174000", True), ("xyz", False)]},
 ]
+
+LEGACY_2019_CASES = [
+    {"description": "2019-09 tuple items + additionalItems",
+     "schema": {"$schema": "https://json-schema.org/draft/2019-09/schema",
+                "items": [{"type": "integer"}, {"type": "string"}],
+                "additionalItems": {"type": "boolean"}},
+     "tests": [([1, "a"], True), ([1, "a", True], True), ([1, "a", 1], False),
+               (["x"], False), ([], True)]},
+    {"description": "2019-09 single-schema items",
+     "schema": {"$schema": "https://json-schema.org/draft/2019-09/schema",
+                "items": {"type": "integer"}},
+     "tests": [([1, 2], True), ([1, "a"], False)]},
+    {"description": "2019-09 unevaluatedItems after tuple items",
+     "schema": {"$schema": "https://json-schema.org/draft/2019-09/schema",
+                "items": [{"type": "integer"}],
+                "unevaluatedItems": {"type": "string"}},
+     "tests": [([1, "a"], True), ([1, 2], False)]},
+]

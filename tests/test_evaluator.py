@@ -15,7 +15,7 @@ from jschon_spark.schema.catalog import (
     pointer_evaluate,
     pointer_unescape,
 )
-from tests.keyword_cases import CASES, FORMAT_CASES
+from tests.keyword_cases import CASES, FORMAT_CASES, LEGACY_2019_CASES
 
 
 def _params(cases):
@@ -33,6 +33,11 @@ def _params(cases):
 
 @pytest.mark.parametrize("schema,data,valid", _params(CASES))
 def test_keyword_case(schema, data, valid):
+    assert Evaluator().validate(schema, data).valid is valid
+
+
+@pytest.mark.parametrize("schema,data,valid", _params(LEGACY_2019_CASES))
+def test_legacy_2019_case(schema, data, valid):
     assert Evaluator().validate(schema, data).valid is valid
 
 
