@@ -1,0 +1,84 @@
+"""Physical-plan audits: the scale properties the operators promise.
+
+These assert plan *shape*, not timing: broadcast for small dims, column
+pruning at the parquet scan, no Exchange in the row-local keyword pass,
+map-side partial aggregation for the rollups.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from jschon_spark.engine import ConstraintEngine
+from jschon_spark.operators import referential, uniqueness
+from jschon_spark.pipeline import PAGE_DOC_COLS, PAGE_SCHEMA
+from jschon_spark.sources.webpages import generate_webpages, lang_dim
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    generate_webpages(spark, 5000).write.parquet(path)
+    return path
+
+
+def test_validation_pass_has_no_shuffle(spark, pages_path):
+    docs = spark.read.parquet(pages_path)
+    compiled = ConstraintEngine(assert_formats=True).compile(PAGE_SCHEMA)
+    out = compiled.apply_typed(docs, PAGE_DOC_COLS).select("url", "passed")
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan
+    assert "codegen id" in plan, plan  # whole-stage codegen fused the pass
+    # no Python in the hot path: the whole keyword pass is JVM-side
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_validation_prunes_unused_columns(spark, pages_path):
+    docs = spark.read.parquet(pages_path)
+    compiled = ConstraintEngine(assert_formats=True).compile(PAGE_SCHEMA)
+    out = compiled.apply_typed(docs, PAGE_DOC_COLS).select("url", "passed")
+    plan = plan_of(out)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    # html:binary is never referenced -> must not be read from parquet
+    assert "html" not in scan[0], scan[0]
+
+
+def test_referential_check_broadcasts_dimension(spark, pages_path):
+    docs = spark.read.parquet(pages_path)
+    viol = referential.referential_violations(
+        docs, lang_dim(spark), "lang", "lang_code", select=["url", "lang"]
+    )
+    plan = plan_of(viol)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the fact side is scanned once with only (url, lang) read
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l and "lang_code" not in l]
+    assert scan and "html" not in scan[0] and "text" not in scan[0], plan
+
+
+def test_rollup_uses_partial_aggregation(spark, pages_path):
+    docs = spark.read.parquet(pages_path)
+    dup = uniqueness.duplicate_keys(docs, "url")
+    plan = plan_of(dup, "simple")
+    # two HashAggregates around one Exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_path):
+    docs = spark.read.parquet(pages_path)
+    q = docs.filter(F.col("lang") == "en").select("url")
+    plan = plan_of(q)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "lang" in pushed[0], plan
