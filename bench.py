@@ -29,7 +29,9 @@ def force(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_pages = int(os.environ.get("BENCH_WEBPAGES_ROWS", "200000"))
+    # large enough that the full corpus pass is compute-bound rather
+    # than job-scheduling-bound (see BENCH_scaling.json methodology)
+    n_pages = int(os.environ.get("BENCH_WEBPAGES_ROWS", "1000000"))
 
     from jschon_spark.session import get_spark
 

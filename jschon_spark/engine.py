@@ -141,7 +141,16 @@ class ConstraintEngine:
     def register(self, schema: Any, uri: str | None = None) -> str:
         return self.catalog.register(schema, uri)
 
-    def compile(self, schema: Any, uri: str | None = None) -> CompiledSchema:
+    def compile(
+        self, schema: Any, uri: str | None = None, validate_schema: bool = True
+    ) -> CompiledSchema:
+        if validate_schema:
+            # the engine validates its own input with itself, mirroring
+            # metaschema validation at JSONSchema construction
+            # (/root/reference/jschon/jsonschema.py:187-189)
+            from jschon_spark.schema.metaschema import validate_schema_document
+
+            validate_schema_document(schema)
         base = self.catalog.register(schema, uri)
         compiled = CompiledSchema(
             schema, self.catalog, base, self.assert_formats

@@ -346,8 +346,9 @@ class ColumnLowerer:
                     )
                 )
             if schema.get("uniqueItems"):
-                if isinstance(dtype.elementType, (T.ArrayType, T.StructType, T.MapType)):
-                    raise CannotLower("uniqueItems over compound elements -> batch")
+                # compound elements are fine: a typed array has ONE
+                # element type, so the reference's cross-type numeric
+                # equality (1 vs 1.0) cannot arise within it
                 add(
                     *_check(
                         F.size(col) == F.size(F.array_distinct(col)),

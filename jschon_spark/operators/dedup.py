@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 from jschon_spark.operators.textqa import tokens
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Signature computation is CPU-bound; if the scan yielded fewer
+    partitions than cores (tiny files), fan out first. At scale the
+    input already has >= cores partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalized(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
@@ -95,32 +105,40 @@ def minhash_near_duplicates(
     true n-gram Jaccard ≥ threshold that collided in ≥1 LSH band.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+    base = base.select(
+        "id", word_shingles(F.col("__t"), shingle_n).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # the signature relation feeds three branches (banding + both sides
+    # of the verify join); without persist each branch would recompute
+    # num_hashes passes over every shingle array
+    base = base.persist()
 
+    # Shuffle economics: the band self-join and the dedup move ONLY
+    # (id, band, bucket) — never the shingle arrays. Shingles rejoin
+    # once per UNIQUE candidate pair for the exact-Jaccard verify.
     banded = base.select(
         "id",
-        "sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda v: v.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -131,16 +149,16 @@ def minhash_near_duplicates(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    shingles = base.select("id", "sh")
+    a = shingles.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -174,18 +192,19 @@ def simhash_counts(col: Column, bits: int = 64) -> Column:
     aggregate/zip_with Column algebra, fuses into the scan.
     """
     toks = tokens(normalized(col))
-    # bit positions are compile-time ints (shift counts must be static),
-    # so the per-token ±1 vector is a literal 64-wide expression array
+    # hash each token ONCE, then fold; the per-bit ±1 vector shifts the
+    # precomputed hash (bit positions are compile-time ints — shift
+    # counts must be static; and no CSE happens inside lambdas, so
+    # hashing inside the bit loop would cost 64 hashes per token)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
     counts = F.aggregate(
-        toks,
+        hashes,
         F.expr(f"array_repeat(0L, {bits})"),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
-                    (
-                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1
-                    ).cast("bigint")
+                    (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
                     for i in range(bits)
                 ]
             ),
@@ -230,10 +249,13 @@ def simhash_near_duplicates(
     bits over 4 chunks), verified with bit_count(xor).
     """
     base = with_simhash(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))),
         "__t",
         "sig",
     ).select("id", "sig")
+    # both sides of the chunk self-join read this; persist so the
+    # 64-bit signature fold runs once per row
+    base = base.persist()
     chunked = base.select(
         "id",
         "sig",

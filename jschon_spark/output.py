@@ -93,6 +93,39 @@ def detailed(validated: DataFrame, id_col: str, doc_id: Any = None) -> dict:
     return tree
 
 
+ANNOTATION_KEYWORDS = (
+    # /root/reference/jschon/vocabulary/annotation.py:19-73 — all
+    # annotate-only (noassert); compile-time constants in our engine
+    "title", "description", "default", "deprecated", "readOnly",
+    "writeOnly", "examples", "format", "contentMediaType",
+    "contentEncoding",
+)
+
+
+def collect_annotations(schema, kpath: str = "") -> list[dict]:
+    """Static annotation table of a schema document: one row per
+    (keyword_path, keyword, value). Annotations are schema constants
+    (zero runtime cost, SURVEY.md §2.4); this surfaces them the way the
+    reference's verbose output does."""
+    out: list[dict] = []
+    if not isinstance(schema, dict):
+        return out
+    for kw in ANNOTATION_KEYWORDS:
+        if kw in schema:
+            out.append({"keyword_path": f"{kpath}/{kw}", "keyword": kw,
+                        "value": schema[kw]})
+    for kw, val in schema.items():
+        if kw in ("enum", "const", "default", "examples"):
+            continue
+        if isinstance(val, dict):
+            out.extend(collect_annotations(val, f"{kpath}/{kw}"))
+        elif isinstance(val, list):
+            for i, item in enumerate(val):
+                if isinstance(item, dict):
+                    out.extend(collect_annotations(item, f"{kpath}/{kw}/{i}"))
+    return out
+
+
 @output_formatter("hierarchical")
 def hierarchical(validated: DataFrame, id_col: str, doc_id: Any = None) -> dict:
     """Alias shape over detailed for now (full keyword-tree nesting is a
