@@ -82,8 +82,28 @@ class CompiledSchema:
             return out.drop("__doc")
 
     # -- dynamic JSON path ----------------------------------------------------
-    def apply_json(self, df: DataFrame, json_col: str) -> DataFrame:
-        """Validate a column of JSON documents (full keyword coverage)."""
+    def apply_json(
+        self, df: DataFrame, json_col: str, prefer_variant: bool = True
+    ) -> DataFrame:
+        """Validate a column of JSON documents.
+
+        Flat schemas lower onto Spark 4 VariantType — the whole
+        validation stays JVM-side even for dynamic JSON. Anything the
+        variant subset can't express falls back to the Arrow batch
+        evaluator (full keyword coverage).
+        """
+        if prefer_variant:
+            from jschon_spark.lowering.variant import (
+                validate_json_column_variant,
+            )
+
+            try:
+                return validate_json_column_variant(
+                    df, json_col, self.schema, self.catalog,
+                    self.assert_formats, self.base_uri,
+                )
+            except CannotLower:
+                pass
         return validate_json_column(
             df, json_col, self.schema, self._store, self.assert_formats
         )

@@ -1,0 +1,417 @@
+"""Variant lowering: dynamic JSON validated entirely JVM-side.
+
+Spark 4's VariantType lets a *dynamic* JSON column be validated with
+pure Column algebra — no Python even for schemaless documents:
+
+  * ``try_parse_json``          — invalid JSON → NULL (matches the
+    reference's parse-time NaN/Infinity rejection, utils.py:66-70)
+  * ``schema_of_variant(value)``— per-value runtime type tag, giving
+    exactly the 6-type JSON model (§1.1): VOID/BOOLEAN/STRING/
+    BIGINT|DECIMAL|DOUBLE|FLOAT/ARRAY/OBJECT
+  * ``try_variant_get(v, path, T)`` — typed extraction; presence =
+    non-NULL type tag, JSON null = 'VOID' (distinguishable!)
+  * ``json_object_keys(doc)``   — key-set keywords (required count,
+    additionalProperties, propertyNames, min/maxProperties)
+
+Coverage: flat object schemas over scalar properties plus scalar root
+schemas, with the same keyword set the typed lowering supports at the
+leaves. Nested objects/arrays, patternProperties (dynamic paths),
+compound enum/const and unevaluated* raise CannotLower → the Arrow
+batch evaluator takes over. Violations match the batch evaluator's
+(keyword, instance_path, keyword_path) conventions.
+
+Number comparisons run in double; integers beyond 2^53 may lose
+precision — the batch path is exact if that matters.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jschon_spark.lowering.columns import (
+    CannotLower,
+    VIOLATION_DDL,
+    _EMPTY_ARR,
+    _check,
+    _concat,
+    _violation,
+)
+from jschon_spark.schema.catalog import SchemaCatalog, pointer_escape
+
+_KEY_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+_SCALAR_KEYWORDS = {
+    "type", "enum", "const", "multipleOf", "maximum", "exclusiveMaximum",
+    "minimum", "exclusiveMinimum", "maxLength", "minLength", "pattern",
+    "format", "$comment", "title", "description", "default", "deprecated",
+    "examples", "readOnly", "writeOnly",
+}
+
+
+class VariantLowerer:
+    """Lower a flat schema onto (raw json string col, variant col)."""
+
+    def __init__(self, catalog: SchemaCatalog, assert_formats: bool = False) -> None:
+        self.catalog = catalog
+        self.assert_formats = assert_formats
+
+    def lower(
+        self, schema: Any, doc: Column, v: Column, base_uri: str = ""
+    ) -> tuple[Column, Column]:
+        """(passed, violations) for one document; doc is the raw JSON
+        string, v = try_parse_json(doc)."""
+        valid, viols = self._lower_value(schema, v, doc, F.lit(""), "", base_uri)
+        parse_fail = doc.isNotNull() & v.isNull()
+        passed = F.when(doc.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.when(parse_fail, F.lit(False)).otherwise(valid)
+        )
+        violations = F.when(doc.isNull(), F.lit(None).cast(VIOLATION_DDL)).otherwise(
+            F.when(
+                parse_fail,
+                F.array(
+                    _violation("", F.lit(""), "", doc, "invalid JSON")
+                ).cast(VIOLATION_DDL),
+            ).otherwise(viols)
+        )
+        return passed, violations
+
+    # -- core: lower a schema against a variant VALUE --------------------
+    def _lower_value(
+        self,
+        schema: Any,
+        val: Column,
+        raw_doc: Column | None,
+        ipath: Column,
+        kpath: str,
+        base_uri: str = "",
+    ) -> tuple[Column, Column]:
+        if isinstance(schema, bool):
+            if schema:
+                return F.lit(True), _EMPTY_ARR()
+            return F.lit(False), F.array(
+                _violation(kpath.rsplit("/", 1)[-1], ipath, kpath, val.cast("string"),
+                           "boolean schema false permits nothing")
+            )
+        if not isinstance(schema, dict):
+            raise CannotLower("schema must be bool or object")
+
+        unsupported = set(schema) - _SCALAR_KEYWORDS - {
+            "required", "dependentRequired", "maxProperties", "minProperties",
+            "properties", "additionalProperties", "propertyNames",
+            "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+            "$defs", "$id", "$schema", "$ref",
+        }
+        if unsupported:
+            raise CannotLower(f"variant lowering does not support {sorted(unsupported)}")
+
+        sv = F.schema_of_variant(val)
+        present = sv.isNotNull()
+        is_num = sv.isin("BIGINT", "DOUBLE", "FLOAT") | sv.startswith("DECIMAL")
+        is_str = sv == "STRING"
+        is_bool = sv == "BOOLEAN"
+        is_null = sv == "VOID"
+        is_obj = sv.startswith("OBJECT") | (sv == "OBJECT<>")
+        is_arr = sv.startswith("ARRAY")
+        dval = F.try_variant_get(val, "$", "double")
+        strval = F.try_variant_get(val, "$", "string")
+
+        valids: list[Column] = []
+        viols: list[Column] = []
+
+        def add(c: Column, w: Column) -> None:
+            valids.append(c)
+            viols.append(w)
+
+        if "$ref" in schema:
+            target, tbase = self.catalog.resolve(schema["$ref"], base_uri)
+            add(*self._lower_value(target, val, raw_doc, ipath, kpath + "/$ref", tbase))
+
+        if "type" in schema:
+            wanted = schema["type"]
+            if isinstance(wanted, str):
+                wanted = [wanted]
+            parts = []
+            for t in wanted:
+                parts.append(
+                    {
+                        "null": is_null,
+                        "boolean": is_bool,
+                        "string": is_str,
+                        "number": is_num,
+                        "integer": is_num & (dval == F.floor(dval)),
+                        "object": is_obj,
+                        "array": is_arr,
+                    }[t]
+                )
+            pred = parts[0]
+            for p in parts[1:]:
+                pred = pred | p
+            add(*_check(pred, "type", ipath, kpath, strval, f"type must be one of {wanted}"))
+
+        if "enum" in schema:
+            values = schema["enum"]
+            if any(isinstance(x, (list, dict)) for x in values):
+                raise CannotLower("compound enum -> batch")
+            pred = F.lit(False)
+            for x in values:
+                if x is None:
+                    pred = pred | is_null
+                elif isinstance(x, bool):
+                    pred = pred | (is_bool & (F.try_variant_get(val, "$", "boolean") == x))
+                elif isinstance(x, (int, float)):
+                    pred = pred | (is_num & (dval == float(x)))
+                else:
+                    pred = pred | (is_str & (strval == x))
+            add(*_check(pred, "enum", ipath, kpath, strval, "value not in enumeration"))
+
+        if "const" in schema:
+            x = schema["const"]
+            if isinstance(x, (list, dict)):
+                raise CannotLower("compound const -> batch")
+            if x is None:
+                pred = is_null
+            elif isinstance(x, bool):
+                pred = is_bool & (F.try_variant_get(val, "$", "boolean") == x)
+            elif isinstance(x, (int, float)):
+                pred = is_num & (dval == float(x))
+            else:
+                pred = is_str & (strval == x)
+            add(*_check(pred, "const", ipath, kpath, strval, "value does not equal const"))
+
+        def gated(cond: Column, applies: Column) -> Column:
+            # keyword applies only to its instance type; else vacuous
+            return F.when(applies, F.coalesce(cond, F.lit(False))).otherwise(F.lit(True))
+
+        if "multipleOf" in schema:
+            m = schema["multipleOf"]
+            pred = gated(
+                (dval.cast("decimal(38,12)") % F.lit(m).cast("decimal(38,12)")) == 0,
+                is_num,
+            )
+            add(*_check(pred, "multipleOf", ipath, kpath, strval, f"not a multiple of {m}"))
+        for kw, op in (
+            ("maximum", lambda c, m: c <= m),
+            ("exclusiveMaximum", lambda c, m: c < m),
+            ("minimum", lambda c, m: c >= m),
+            ("exclusiveMinimum", lambda c, m: c > m),
+        ):
+            if kw in schema:
+                pred = gated(op(dval, F.lit(float(schema[kw]))), is_num)
+                add(*_check(pred, kw, ipath, kpath, strval, f"violates {kw} {schema[kw]}"))
+
+        if "maxLength" in schema:
+            add(*_check(gated(F.length(strval) <= schema["maxLength"], is_str),
+                        "maxLength", ipath, kpath, strval,
+                        f"longer than {schema['maxLength']}"))
+        if "minLength" in schema:
+            add(*_check(gated(F.length(strval) >= schema["minLength"], is_str),
+                        "minLength", ipath, kpath, strval,
+                        f"shorter than {schema['minLength']}"))
+        if "pattern" in schema:
+            pat = schema["pattern"]
+            if re.search(r"\(\?P[<=!]|\\Z|\\A|\(\?<", pat):
+                raise CannotLower("regex dialect risk -> batch")
+            add(*_check(gated(strval.rlike(pat), is_str),
+                        "pattern", ipath, kpath, strval,
+                        f"does not match pattern {pat}"))
+        if "format" in schema and self.assert_formats:
+            from jschon_spark.lowering.columns import ColumnLowerer
+
+            rx = ColumnLowerer._FORMAT_REGEX.get(schema["format"])
+            if rx is None:
+                raise CannotLower(f"format {schema['format']!r} -> batch")
+            add(*_check(gated(strval.rlike(rx), is_str),
+                        "format", ipath, kpath, strval,
+                        f"not a valid {schema['format']}"))
+
+        # ---- object keywords (need the raw doc for the key set) --------
+        obj_kws = {"required", "dependentRequired", "maxProperties",
+                   "minProperties", "properties", "additionalProperties",
+                   "propertyNames"}
+        if obj_kws & set(schema):
+            if raw_doc is None:
+                raise CannotLower("nested object keywords -> batch")
+            keys = F.json_object_keys(raw_doc)
+
+            def prop_tag(name: str) -> Column:
+                if not _KEY_RE.match(name):
+                    raise CannotLower(f"property name {name!r} needs batch path")
+                return F.schema_of_variant(F.try_variant_get(val, f"$.{name}", "variant"))
+
+            if "required" in schema:
+                for req in schema["required"]:
+                    pred = F.when(is_obj, prop_tag(req).isNotNull()).otherwise(F.lit(True))
+                    add(*_check(pred, "required", ipath, kpath, F.lit(req),
+                                f"missing required property {req!r}"))
+            if "dependentRequired" in schema:
+                for k, deps in schema["dependentRequired"].items():
+                    dep_ok = F.lit(True)
+                    for d in deps:
+                        dep_ok = dep_ok & prop_tag(d).isNotNull()
+                    pred = F.when(is_obj & prop_tag(k).isNotNull(), dep_ok).otherwise(F.lit(True))
+                    add(*_check(pred, "dependentRequired", ipath, kpath, F.lit(k),
+                                f"property {k!r} requires {deps}"))
+            if "maxProperties" in schema:
+                pred = F.when(is_obj, F.size(keys) <= schema["maxProperties"]).otherwise(F.lit(True))
+                add(*_check(pred, "maxProperties", ipath, kpath, F.size(keys),
+                            f"more than {schema['maxProperties']} properties"))
+            if "minProperties" in schema:
+                pred = F.when(is_obj, F.size(keys) >= schema["minProperties"]).otherwise(F.lit(True))
+                add(*_check(pred, "minProperties", ipath, kpath, F.size(keys),
+                            f"fewer than {schema['minProperties']} properties"))
+            covered: list[str] = []
+            if "properties" in schema:
+                for name, sub in schema["properties"].items():
+                    covered.append(name)
+                    child = F.try_variant_get(val, f"$.{name}" if _KEY_RE.match(name) else None, "variant")
+                    if not _KEY_RE.match(name):
+                        raise CannotLower(f"property name {name!r} -> batch")
+                    cv, cw = self._lower_value(
+                        sub, child, None,
+                        F.concat(ipath, F.lit("/" + pointer_escape(name))),
+                        f"{kpath}/properties/{pointer_escape(name)}",
+                        base_uri,
+                    )
+                    applies = is_obj & prop_tag(name).isNotNull()
+                    add(F.when(applies, cv).otherwise(F.lit(True)),
+                        F.when(applies, cw).otherwise(_EMPTY_ARR()))
+            if "additionalProperties" in schema:
+                ap = schema["additionalProperties"]
+                if ap not in (True, False):
+                    raise CannotLower("schema-valued additionalProperties -> batch")
+                if ap is False:
+                    allowed = F.array(*[F.lit(c) for c in covered])
+                    extra = F.filter(keys, lambda k: ~F.array_contains(allowed, k))
+                    pred = F.when(is_obj, F.size(extra) == 0).otherwise(F.lit(True))
+
+                    def _esc(k: Column) -> Column:
+                        return F.replace(
+                            F.replace(k, F.lit("~"), F.lit("~0")),
+                            F.lit("/"), F.lit("~1"),
+                        )
+
+                    # one violation per offending property, at /<key>
+                    per_key = F.transform(
+                        extra,
+                        lambda k: F.struct(
+                            F.lit("additionalProperties").alias("keyword"),
+                            F.concat(ipath, F.lit("/"), _esc(k)).alias("instance_path"),
+                            F.lit(f"{kpath}/additionalProperties").alias("keyword_path"),
+                            F.substring(k, 1, 256).alias("value"),
+                            F.lit("additional properties are not allowed").alias("error"),
+                        ),
+                    ).cast(VIOLATION_DDL)
+                    add(
+                        F.coalesce(pred, F.lit(False)),
+                        F.when(pred, _EMPTY_ARR()).otherwise(per_key),
+                    )
+            if "propertyNames" in schema:
+                sub = schema["propertyNames"]
+                # lower the name schema against a string value: reuse the
+                # typed lowering over a StringType lambda variable
+                from jschon_spark.lowering.columns import ColumnLowerer
+                from pyspark.sql import types as T
+
+                lowerer = ColumnLowerer(self.catalog, self.assert_formats)
+
+                def name_result(k: Column):
+                    return lowerer.lower(
+                        sub, T.StringType(), k, base_uri,
+                        ipath=ipath, kpath=f"{kpath}/propertyNames",
+                    )
+
+                pred = F.when(
+                    is_obj, F.forall(keys, lambda k: name_result(k)[0])
+                ).otherwise(F.lit(True))
+                # per bad name: a propertyNames violation + the name
+                # subschema's own violations (matches the evaluator)
+                def per_name(k: Column) -> Column:
+                    ok, w2 = name_result(k)
+                    pn = F.struct(
+                        F.lit("propertyNames").alias("keyword"),
+                        ipath.alias("instance_path"),
+                        F.lit(f"{kpath}/propertyNames").alias("keyword_path"),
+                        F.substring(k, 1, 256).alias("value"),
+                        F.lit("property name is invalid").alias("error"),
+                    )
+                    return F.when(ok, _EMPTY_ARR()).otherwise(
+                        F.concat(F.array(pn).cast(VIOLATION_DDL), w2.cast(VIOLATION_DDL))
+                    )
+
+                viol = F.when(is_obj & ~F.coalesce(pred, F.lit(True)),
+                              F.flatten(F.transform(keys, per_name))
+                              ).otherwise(_EMPTY_ARR()).cast(VIOLATION_DDL)
+                add(F.coalesce(pred, F.lit(False)), viol)
+
+        # ---- combinators -------------------------------------------------
+        for kw in ("allOf",):
+            if kw in schema:
+                for i, sub in enumerate(schema[kw]):
+                    add(*self._lower_value(sub, val, raw_doc, ipath, f"{kpath}/allOf/{i}", base_uri))
+        if "anyOf" in schema:
+            parts = [
+                self._lower_value(sub, val, raw_doc, ipath, f"{kpath}/anyOf/{i}", base_uri)
+                for i, sub in enumerate(schema["anyOf"])
+            ]
+            ok = parts[0][0]
+            for c, _ in parts[1:]:
+                ok = ok | c
+            add(F.coalesce(ok, F.lit(False)),
+                F.when(ok, _EMPTY_ARR()).otherwise(_concat(
+                    F.array(_violation("anyOf", ipath, f"{kpath}/anyOf", strval, "no subschema matched")),
+                    *[w for _, w in parts])))
+        if "oneOf" in schema:
+            parts = [
+                self._lower_value(sub, val, raw_doc, ipath, f"{kpath}/oneOf/{i}", base_uri)
+                for i, sub in enumerate(schema["oneOf"])
+            ]
+            n = parts[0][0].cast("int")
+            for c, _ in parts[1:]:
+                n = n + c.cast("int")
+            ok = n == 1
+            add(F.coalesce(ok, F.lit(False)),
+                F.when(ok, _EMPTY_ARR()).otherwise(
+                    F.array(_violation("oneOf", ipath, f"{kpath}/oneOf", n,
+                                       "exactly one subschema must match"))))
+        if "not" in schema:
+            c, _ = self._lower_value(schema["not"], val, raw_doc, ipath, f"{kpath}/not", base_uri)
+            add(*_check(~c, "not", ipath, kpath, strval, "instance must not match the subschema"))
+        if "if" in schema:
+            cond, _ = self._lower_value(schema["if"], val, raw_doc, ipath, f"{kpath}/if", base_uri)
+            cond = F.coalesce(cond, F.lit(False))
+            if "then" in schema:
+                cv, cw = self._lower_value(schema["then"], val, raw_doc, ipath, f"{kpath}/then", base_uri)
+                add(F.when(cond, cv).otherwise(F.lit(True)),
+                    F.when(cond, cw).otherwise(_EMPTY_ARR()))
+            if "else" in schema:
+                cv, cw = self._lower_value(schema["else"], val, raw_doc, ipath, f"{kpath}/else", base_uri)
+                add(F.when(~cond, cv).otherwise(F.lit(True)),
+                    F.when(~cond, cw).otherwise(_EMPTY_ARR()))
+
+        if not valids:
+            return F.lit(True), _EMPTY_ARR()
+        out = valids[0]
+        for c in valids[1:]:
+            out = out & c
+        return out, _concat(*viols)
+
+
+def validate_json_column_variant(
+    df: DataFrame,
+    json_col: str,
+    schema: Any,
+    catalog: SchemaCatalog,
+    assert_formats: bool = False,
+    base_uri: str = "",
+) -> DataFrame:
+    """Pure-JVM validation of a JSON string column via VariantType.
+    Raises CannotLower when the schema is outside the flat subset."""
+    lowerer = VariantLowerer(catalog, assert_formats)
+    doc = F.col(json_col)
+    v = F.try_parse_json(doc)
+    passed, violations = lowerer.lower(schema, doc, v, base_uri)
+    return df.withColumn("passed", passed).withColumn("violations", violations)

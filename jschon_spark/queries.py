@@ -201,15 +201,24 @@ PROPS_SCHEMA = {
 }
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Tiny single-file inputs arrive as one partition; CPU-bound
+    validation should use every core. No-op at scale (many splits)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def props_json_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = _fan_out(load(spark, sf_dir, "events"))
     eng = ConstraintEngine()
     out = eng.compile(PROPS_SCHEMA).apply_json(ev, "props")
     return out.select("event_id", "passed")
 
 
 def props_json_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = _fan_out(load(spark, sf_dir, "events"))
     eng = ConstraintEngine()
     out = eng.compile(PROPS_SCHEMA).apply_json(ev, "props")
     v = out.filter(~F.col("passed")).select("event_id", F.explode("violations").alias("v"))

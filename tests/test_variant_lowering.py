@@ -1,0 +1,104 @@
+"""Differential: variant lowering vs the Arrow batch evaluator on the
+same JSON documents — verdicts AND (keyword, instance_path) violations
+must agree wherever the variant subset applies."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jschon_spark.engine import ConstraintEngine
+from jschon_spark.lowering.columns import CannotLower
+from jschon_spark.lowering.variant import validate_json_column_variant
+
+DOCS = [
+    '{"k": 10}', '{"k": -1}', '{"k": 87}', '{"k": 1.5}', '{"k": 25.0}',
+    '{"k": "s"}', '{"k": null}', '{"k": true}', '{"x": 1}',
+    '{"k": 10, "extra": 2}', '{"k": 10, "name": "ab"}',
+    '{"k": 10, "name": ""}', '{"k": 10, "name": "toolongname"}',
+    '[1, 2]', '"plain"', "17", "17.5", "true", "null", "not json{", "NaN",
+    '{"a": {"nested": 1}}', "{}", None,
+]
+
+SCHEMAS = [
+    {"type": "object", "required": ["k"],
+     "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}}},
+    {"type": "object", "required": ["k"],
+     "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50},
+                    "name": {"type": "string", "minLength": 1, "maxLength": 6}},
+     "additionalProperties": False},
+    {"properties": {"k": {"multipleOf": 5}}},
+    {"properties": {"k": {"enum": [10, "s", None, True]}}},
+    {"properties": {"k": {"const": 10}}},
+    {"type": ["number", "string"]},
+    {"type": "integer"},
+    {"minimum": 17, "exclusiveMaximum": 18},
+    {"maxProperties": 1, "minProperties": 1},
+    {"propertyNames": {"maxLength": 1}},
+    {"dependentRequired": {"k": ["name"]}},
+    {"anyOf": [{"type": "string"}, {"type": "object", "required": ["k"]}]},
+    {"oneOf": [{"type": "integer"}, {"type": "number"}]},
+    {"not": {"type": "object"}},
+    {"if": {"type": "number"}, "then": {"minimum": 0}, "else": {"type": "object"}},
+    {"$ref": "#/$defs/pos", "$defs": {"pos": {"type": "number", "minimum": 0}}},
+    True,
+    False,
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame([(d,) for d in DOCS], "doc string").cache()
+
+
+@pytest.mark.parametrize("schema", SCHEMAS, ids=[str(i) for i in range(len(SCHEMAS))])
+def test_variant_matches_batch(spark, docs_df, schema):
+    eng = ConstraintEngine()
+    compiled = eng.compile(schema if isinstance(schema, bool) else dict(schema))
+    try:
+        var = validate_json_column_variant(
+            docs_df, "doc", compiled.schema, compiled.catalog,
+            base_uri=compiled.base_uri,
+        )
+    except CannotLower:
+        pytest.skip("outside variant subset")
+    batch = compiled.apply_json(docs_df, "doc", prefer_variant=False)
+
+    vrows = var.select("doc", "passed", "violations").collect()
+    brows = batch.select("doc", "passed", "violations").collect()
+    vmap = {r.doc: r for r in vrows}
+    bmap = {r.doc: r for r in brows}
+    for doc in DOCS:
+        v, b = vmap[doc], bmap[doc]
+        assert v.passed == b.passed, f"doc={doc!r}: variant={v.passed} batch={b.passed}"
+        if v.passed is False:
+            vk = sorted((x.keyword, x.instance_path) for x in v.violations)
+            bk = sorted((x.keyword, x.instance_path) for x in b.violations)
+            assert vk == bk, f"doc={doc!r}: {vk} != {bk}"
+
+
+def test_variant_plan_is_jvm_only(spark, docs_df):
+    eng = ConstraintEngine()
+    compiled = eng.compile(SCHEMAS[0])
+    out = compiled.apply_json(docs_df, "doc")  # default prefers variant
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_nested_schema_falls_back(spark, docs_df):
+    eng = ConstraintEngine()
+    nested = {"properties": {"a": {"properties": {"b": {"type": "integer"}}}}}
+    compiled = eng.compile(nested)
+    with pytest.raises(CannotLower):
+        validate_json_column_variant(docs_df, "doc", compiled.schema, compiled.catalog)
+    out = compiled.apply_json(docs_df, "doc")  # falls back silently
+    got = {r.doc: r.passed for r in out.collect()}
+    assert got['{"a": {"nested": 1}}'] is True
