@@ -116,3 +116,47 @@ def test_custom_format_and_keyword_registry(spark):
     finally:
         FORMAT_REGISTRY.pop("even-digits", None)
         KEYWORD_REGISTRY.pop("startsWith", None)
+
+
+def test_stateful_violation_monitor(spark, tmp_path):
+    """State accumulates across micro-batches (two files, two triggers)."""
+    import pandas as pd
+    from jschon_spark.streaming.stateful import violation_monitor
+
+    src = str(tmp_path / "mon_src")
+    schema = "url string, passed boolean"
+    df1 = spark.createDataFrame(
+        [("https://a.x/1", True), ("https://a.x/2", False), ("https://b.y/1", True)],
+        schema,
+    )
+    df1.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df1.schema).option("maxFilesPerTrigger", "100").parquet(src)
+    mon = violation_monitor(stream, threshold=0.4)
+    q = (
+        mon.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("monitor_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.key: (r.n_docs, r.n_failed, r.alert)
+                 for r in spark.sql("SELECT * FROM monitor_out").collect()}
+        assert first["a.x"] == (2, 1, True)
+        assert first["b.y"] == (1, 0, False)
+
+        # second micro-batch: counts must ACCUMULATE (stateful), not reset
+        spark.createDataFrame(
+            [("https://a.x/3", True), ("https://a.x/4", True), ("https://b.y/2", False)],
+            schema,
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM monitor_out").collect()
+        latest = {}
+        for r in rows:  # update mode appends revisions; last write wins
+            latest[r.key] = (r.n_docs, r.n_failed, r.alert)
+        assert latest["a.x"] == (4, 1, False)   # ratio 0.25 -> alert cleared
+        assert latest["b.y"] == (2, 1, True)    # ratio 0.5 -> alert raised
+    finally:
+        q.stop()
