@@ -193,6 +193,8 @@ class ColumnLowerer:
             self._lower_array(schema, dtype, col, base_uri, ipath, kpath, add)
         elif json_t == "object" and isinstance(dtype, T.StructType):
             self._lower_struct(schema, dtype, col, base_uri, ipath, kpath, add)
+        elif json_t == "object" and isinstance(dtype, T.MapType):
+            self._lower_map(schema, dtype, col, base_uri, ipath, kpath, add)
         elif any(
             k in schema
             for k in (
@@ -574,6 +576,149 @@ class ColumnLowerer:
                     F.when(present, v).otherwise(F.lit(True)),
                     F.when(present, w).otherwise(_EMPTY_ARR()),
                 )
+
+    # -- object applicators over string-keyed maps ------------------------------
+    def _lower_map(self, schema, dtype, col, base_uri, ipath, kpath, add):
+        """map<string,V> columns: presence = key membership; a NULL map
+        value is JSON null (not absent), unlike struct fields."""
+        if not isinstance(dtype.keyType, T.StringType):
+            raise CannotLower("object lowering needs string map keys")
+        vt = dtype.valueType
+        keys = F.map_keys(col)
+
+        def esc(k: Column) -> Column:
+            return F.replace(
+                F.replace(k, F.lit("~"), F.lit("~0")), F.lit("/"), F.lit("~1")
+            )
+
+        if "maxProperties" in schema:
+            add(*_check(F.size(col) <= schema["maxProperties"],
+                        "maxProperties", ipath, kpath, F.size(col),
+                        f"more than {schema['maxProperties']} properties"))
+        if "minProperties" in schema:
+            add(*_check(F.size(col) >= schema["minProperties"],
+                        "minProperties", ipath, kpath, F.size(col),
+                        f"fewer than {schema['minProperties']} properties"))
+        if "required" in schema:
+            for req in schema["required"]:
+                add(*_check(F.map_contains_key(col, F.lit(req)),
+                            "required", ipath, kpath, F.lit(req),
+                            f"missing required property {req!r}"))
+        if "dependentRequired" in schema:
+            for k, deps in schema["dependentRequired"].items():
+                dep_ok = F.lit(True)
+                for d in deps:
+                    dep_ok = dep_ok & F.map_contains_key(col, F.lit(d))
+                pred = F.when(
+                    F.map_contains_key(col, F.lit(k)), dep_ok
+                ).otherwise(F.lit(True))
+                add(*_check(pred, "dependentRequired", ipath, kpath, F.lit(k),
+                            f"property {k!r} requires {deps}"))
+
+        covered_names = list(schema.get("properties", {}))
+        covered_patterns = list(schema.get("patternProperties", {}))
+
+        def apply_to_keys(key_filter, sub, kw_label: str):
+            """Apply ``sub`` to the value of every key passing key_filter;
+            emit per-key violations with dynamic instance paths."""
+            matching = F.filter(keys, key_filter)
+
+            def child(k: Column):
+                return self._lower(
+                    sub, vt, F.element_at(col, k), base_uri,
+                    F.concat(ipath, F.lit("/"), esc(k)), kw_label,
+                )
+
+            valid = F.coalesce(
+                F.forall(matching, lambda k: child(k)[0]), F.lit(True)
+            )
+            viol = F.coalesce(
+                F.flatten(
+                    F.transform(
+                        matching,
+                        lambda k: F.when(child(k)[0], _EMPTY_ARR()).otherwise(child(k)[1]),
+                    )
+                ).cast(VIOLATION_DDL),
+                _EMPTY_ARR(),
+            )
+            add(valid, viol)
+
+        # NOTE: higher-order-function lambdas must be unary — pyspark
+        # reads the Python arity, so a defaulted second param would bind
+        # the array *index*. Close over values with factories instead.
+        def _eq(n):
+            return lambda k: k == F.lit(n)
+
+        def _rx(p):
+            return lambda k: k.rlike(p)
+
+        for name, sub in schema.get("properties", {}).items():
+            apply_to_keys(
+                _eq(name), sub, f"{kpath}/properties/{pointer_escape(name)}"
+            )
+        for pattern, sub in schema.get("patternProperties", {}).items():
+            self._check_regex_dialect(pattern)
+            apply_to_keys(
+                _rx(pattern), sub,
+                f"{kpath}/patternProperties/{pointer_escape(pattern)}",
+            )
+        for kw in ("additionalProperties", "unevaluatedProperties"):
+            if kw in schema:
+                if kw == "unevaluatedProperties" and any(
+                    k in schema for k in ("allOf", "anyOf", "oneOf", "if", "$ref", "dependentSchemas")
+                ):
+                    raise CannotLower(
+                        "unevaluatedProperties with in-place applicators -> batch"
+                    )
+
+                def uncovered(k: Column) -> Column:
+                    cond = F.lit(True)
+                    for n in covered_names:
+                        cond = cond & (k != F.lit(n))
+                    for p in covered_patterns:
+                        cond = cond & ~k.rlike(p)
+                    return cond
+
+                apply_to_keys(uncovered, schema[kw], f"{kpath}/{kw}")
+        if "propertyNames" in schema:
+            sub = schema["propertyNames"]
+
+            def name_child(k: Column):
+                return self._lower(
+                    sub, T.StringType(), k, base_uri, ipath,
+                    f"{kpath}/propertyNames",
+                )
+
+            valid = F.coalesce(F.forall(keys, lambda k: name_child(k)[0]), F.lit(True))
+            viol = F.coalesce(
+                F.flatten(
+                    F.transform(
+                        keys,
+                        lambda k: F.when(name_child(k)[0], _EMPTY_ARR()).otherwise(
+                            F.concat(
+                                F.array(
+                                    _violation(
+                                        "propertyNames", ipath, f"{kpath}/propertyNames",
+                                        k, "property name is invalid",
+                                    )
+                                ).cast(VIOLATION_DDL),
+                                name_child(k)[1].cast(VIOLATION_DDL),
+                            )
+                        ),
+                    )
+                ).cast(VIOLATION_DDL),
+                _EMPTY_ARR(),
+            )
+            add(valid, viol)
+        if "dependentSchemas" in schema:
+            for k, sub in schema["dependentSchemas"].items():
+                v, w = self._lower(
+                    sub, dtype, col, base_uri, ipath,
+                    f"{kpath}/dependentSchemas/{pointer_escape(k)}",
+                )
+                present = F.map_contains_key(col, F.lit(k))
+                add(F.when(present, v).otherwise(F.lit(True)),
+                    F.when(present, w).otherwise(_EMPTY_ARR()))
 
     # -- combinators -----------------------------------------------------------
     def _lower_combinators(self, schema, dtype, col, base_uri, ipath, kpath, add):

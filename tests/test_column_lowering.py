@@ -144,3 +144,54 @@ def test_violation_rows_match_oracle(spark, typed_df):
         )
         got = sorted((v.keyword, v.instance_path) for v in sv.violations)
         assert got == want, f"row={inst}"
+
+
+MAP_SCHEMAS = [
+    {"type": "object", "required": ["a", "z"]},
+    {"properties": {"a": {"type": "integer", "minimum": 2}}},
+    {"patternProperties": {"^x": {"type": "integer", "maximum": 5}}},
+    {"properties": {"a": True}, "additionalProperties": {"maximum": 3}},
+    {"properties": {"a": True}, "additionalProperties": False},
+    {"propertyNames": {"maxLength": 1}},
+    {"minProperties": 2, "maxProperties": 3},
+    {"dependentRequired": {"a": ["b"]}},
+    {"dependentSchemas": {"a": {"required": ["b"]}}},
+    {"properties": {"a": {"type": "integer"}}, "unevaluatedProperties": {"maximum": 4}},
+]
+
+MAP_ROWS = [
+    {"a": 1},
+    {"a": 3, "b": 2},
+    {"x1": 4, "a": 9},
+    {"x1": 9},
+    {"q": 7},
+    {"a": None},
+    {},
+    {"a": 2, "b": 2, "c": 2, "d": 2},
+    None,
+]
+
+
+@pytest.mark.parametrize("schema", MAP_SCHEMAS, ids=[f"m{i}" for i in range(len(MAP_SCHEMAS))])
+def test_map_lowering_matches_evaluator(spark, schema):
+    df = spark.createDataFrame([(m,) for m in MAP_ROWS], "m map<string,long>")
+    eng = ConstraintEngine()
+    compiled = eng.compile({"properties": {"m": dict(schema)}})
+    got = [r.passed for r in compiled.apply_typed(df).select("passed").collect()]
+    ev = Evaluator()
+    want = []
+    for m in MAP_ROWS:
+        inst = {} if m is None else {"m": m}
+        want.append(ev.validate({"properties": {"m": dict(schema)}}, inst).valid)
+    assert got == want, f"schema={schema} got={got} want={want}"
+
+
+def test_map_violation_paths(spark):
+    df = spark.createDataFrame([({"a": 1, "b/c": 9},)], "m map<string,long>")
+    eng = ConstraintEngine()
+    compiled = eng.compile(
+        {"properties": {"m": {"additionalProperties": {"maximum": 3}, "properties": {"a": True}}}}
+    )
+    out = compiled.apply_typed(df).select(F.explode("violations").alias("v")).collect()
+    paths = {(r.v.keyword, r.v.instance_path) for r in out}
+    assert ("maximum", "/m/b~1c") in paths
