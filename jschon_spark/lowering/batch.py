@@ -49,6 +49,7 @@ def make_batch_validator(
     def validate_batch(docs: pd.Series) -> pd.DataFrame:
         # constructed once per Python worker, reused across batches
         from jschon_spark.evaluator import Evaluator
+        from jschon_spark.fastpath import compile_valid
         from jschon_spark.schema.catalog import SchemaCatalog, parse_json_strict
 
         catalog = SchemaCatalog()
@@ -56,6 +57,11 @@ def make_batch_validator(
             catalog.register(extra)
         ev = Evaluator(catalog, assert_formats=assert_formats)
         base = catalog.register(schema)
+        # closure-compiled valid-only predicate: the full Outcome walk
+        # (violation extraction) then runs only on failing documents
+        fast = compile_valid(
+            schema, catalog, base, assert_formats, ev.formats
+        )
 
         passed = []
         violations = []
@@ -72,6 +78,12 @@ def make_batch_validator(
                     [("", "", "", str(doc)[:256], f"invalid JSON: {e}")]
                 )
                 continue
+            if fast is not None:
+                if fast(instance):
+                    passed.append(True)
+                    violations.append([])
+                    continue
+                # failing doc: full walk for the violation records
             out = ev._eval(schema, instance, base, [base], "", "")
             passed.append(out.valid)
             violations.append(
