@@ -126,6 +126,87 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids + per-vector list id.
+
+    Returns (assigned_df with ``__list`` column, centroids: list[list]).
+    Training uses pyspark.ml KMeans on the corpus (sampled upstream if
+    huge); assignment is one scan. At query time only ``n_probe``
+    lists are searched — the classic IVF trade of recall for scan cost.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__feat", predictionCol="__list")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select("vec_id", "__cv", "__list")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with an IVF index: score only the ``n_probe``
+    inverted lists nearest each query. Output matches brute_force_topk.
+    """
+    import math
+
+    assigned, centroids = ivf_index(corpus, n_lists, id_col, vec_col, seed)
+    assigned = assigned.persist()
+
+    # probe lists per query: computed driver-side against the tiny
+    # centroid table, shipped as a literal mapping (queries are small)
+    q_rows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).collect()
+
+    def nearest_lists(vec) -> list[int]:
+        dists = []
+        for li, c in enumerate(centroids):
+            d = sum((float(a) - b) ** 2 for a, b in zip(vec, c))
+            dists.append((d, li))
+        return [li for _, li in sorted(dists)[:n_probe]]
+
+    spark = corpus.sparkSession
+    probe = spark.createDataFrame(
+        [
+            (r["query_id"], r["__qv"], li)
+            for r in q_rows
+            for li in nearest_lists(r["__qv"])
+        ],
+        f"query_id long, __qv array<float>, __list int",
+    )
+    scored = assigned.join(F.broadcast(probe), "__list").withColumn(
+        "cos", cosine(F.col("__cv"), F.col("__qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -198,3 +198,29 @@ def test_lang_id(spark):
     )
     got = {r.id: r.lang_pred for r in textqa.lang_id(df, "text").collect()}
     assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    import numpy as np
+    from jschon_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 16).astype("float32")
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.brute_force_topk(df, queries, k=5)
+    ivf = ivf_topk(df, queries, k=5, n_lists=8, n_probe=4)
+    bmap, imap = {}, {}
+    for r in brute.collect():
+        bmap.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in ivf.collect():
+        imap.setdefault(r.query_id, set()).add(r.vec_id)
+    # n_probe=4 of 8 lists: expect decent recall, and the query's own
+    # vector (cos=1) is always found
+    for q in bmap:
+        assert q in imap[q]
+        recall = len(bmap[q] & imap[q]) / 5
+        assert recall >= 0.4, f"query {q}: recall {recall}"
