@@ -77,3 +77,25 @@ def test_validate_corpus_checkpointed(spark, tmp_path):
     assert sum(m["metrics"]["n_docs"] for m in out1.values()) == 2000
     out2 = validate_corpus_checkpointed(spark, docs, str(tmp_path), snaps)
     assert out2 == {}
+
+
+def test_iceberg_fallback_roundtrip(spark, tmp_path):
+    from jschon_spark.sources.iceberg import (
+        iceberg_available,
+        partition_snapshots,
+        read_webpages_table,
+        write_webpages_table,
+    )
+
+    assert iceberg_available(spark) is False  # no jars in this image
+    docs = generate_webpages(spark, 1000)
+    target = str(tmp_path / "pages_tbl")
+    assert write_webpages_table(spark, docs, target) == "parquet"
+    back = read_webpages_table(spark, target)
+    assert set(back.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert back.count() == 1000
+    snaps = partition_snapshots(spark, target)
+    assert len(snaps) == 30  # 30 distinct days
+    assert all(len(s) == 16 for s in snaps.values())
+    # fingerprints are stable across calls
+    assert snaps == partition_snapshots(spark, target)
