@@ -489,6 +489,43 @@ class ColumnLowerer:
                     )
                 )
 
+    def _static_coverage(
+        self, schema, base_uri: str, _seen: set | None = None
+    ) -> tuple[set, list]:
+        """Property coverage contributed by this schema and its
+        unconditional in-place children (allOf, $ref) — the
+        compile-time annotation algebra for unevaluatedProperties
+        (SURVEY.md §2.6). Branch-dependent applicators (anyOf/oneOf/
+        if/dependentSchemas) make coverage dynamic -> CannotLower.
+
+        Verdicts match the evaluator exactly; on documents that ALREADY
+        fail a covering branch the violation list may omit redundant
+        unevaluatedProperties entries (the document is invalid either
+        way)."""
+        _seen = _seen or set()
+        if id(schema) in _seen:
+            raise CannotLower("cyclic coverage -> batch")
+        _seen = _seen | {id(schema)}
+        if not isinstance(schema, dict):
+            return set(), []
+        if any(k in schema for k in ("anyOf", "oneOf", "if", "then", "else", "dependentSchemas")):
+            raise CannotLower("unevaluatedProperties with branch-dependent coverage -> batch")
+        names = set(schema.get("properties", {}))
+        patterns = list(schema.get("patternProperties", {}))
+        if "additionalProperties" in schema:
+            # additionalProperties covers everything it applies to
+            patterns.append("")  # matches every name
+        for sub in schema.get("allOf", []):
+            n, p = self._static_coverage(sub, base_uri, _seen)
+            names |= n
+            patterns += p
+        if "$ref" in schema:
+            target, tbase = self.catalog.resolve(schema["$ref"], base_uri)
+            n, p = self._static_coverage(target, tbase, _seen)
+            names |= n
+            patterns += p
+        return names, patterns
+
     # -- object applicators over structs -------------------------------------
     def _lower_struct(self, schema, dtype, col, base_uri, ipath, kpath, add):
         fields = {f_.name: f_ for f_ in dtype.fields}
@@ -527,12 +564,14 @@ class ColumnLowerer:
                     )
         for kw in ("additionalProperties", "unevaluatedProperties"):
             if kw in schema:
-                if kw == "unevaluatedProperties" and any(
-                    k in schema for k in ("allOf", "anyOf", "oneOf", "if", "$ref", "dependentSchemas")
-                ):
-                    raise CannotLower(
-                        "unevaluatedProperties with in-place applicators -> batch"
-                    )
+                if kw == "unevaluatedProperties":
+                    # extend local coverage with the static coverage
+                    # from unconditional in-place children
+                    names, patterns = self._static_coverage(schema, base_uri)
+                    covered = set(covered) | {n for n in names if n in fields}
+                    for p in patterns:
+                        rx = re.compile(p)
+                        covered |= {n for n in fields if rx.search(n)}
                 sub = schema[kw]
                 for name, f_ in fields.items():
                     if name in covered:
@@ -664,22 +703,24 @@ class ColumnLowerer:
             )
         for kw in ("additionalProperties", "unevaluatedProperties"):
             if kw in schema:
-                if kw == "unevaluatedProperties" and any(
-                    k in schema for k in ("allOf", "anyOf", "oneOf", "if", "$ref", "dependentSchemas")
-                ):
-                    raise CannotLower(
-                        "unevaluatedProperties with in-place applicators -> batch"
-                    )
+                names, patterns = list(covered_names), list(covered_patterns)
+                if kw == "unevaluatedProperties":
+                    xn, xp = self._static_coverage(schema, base_uri)
+                    names += list(xn)
+                    patterns += xp
 
-                def uncovered(k: Column) -> Column:
-                    cond = F.lit(True)
-                    for n in covered_names:
-                        cond = cond & (k != F.lit(n))
-                    for p in covered_patterns:
-                        cond = cond & ~k.rlike(p)
-                    return cond
+                def _uncov(names=tuple(names), patterns=tuple(patterns)):
+                    def uncovered(k: Column) -> Column:
+                        cond = F.lit(True)
+                        for n in names:
+                            cond = cond & (k != F.lit(n))
+                        for p in patterns:
+                            cond = cond & (~k.rlike(p) if p else F.lit(False))
+                        return cond
 
-                apply_to_keys(uncovered, schema[kw], f"{kpath}/{kw}")
+                    return uncovered
+
+                apply_to_keys(_uncov(), schema[kw], f"{kpath}/{kw}")
         if "propertyNames" in schema:
             sub = schema["propertyNames"]
 
