@@ -31,6 +31,41 @@ _STOP = {
 }
 
 
+def _shingle_ctes(where: str = "") -> str:
+    """Shared DuckDB CTEs reproducing dedup.word_shingles exactly:
+    normalize → whitespace tokens → distinct 3-word shingles."""
+    return rf"""
+        base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+                     x -> x <> '') AS toks
+          FROM documents {where}
+        ), shg AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) - 2 <= 0 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(
+                             generate_series(1, len(toks) - 2),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                 END AS sh
+          FROM base
+        )"""
+
+
+_JAC = (
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / len(list_distinct(a.sh || b.sh))"
+)
+
+_MINHASH_SIG = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(16)
+)
+_MINHASH_BANDS = ", ".join(
+    f"{{'band': {b}, 'bucket': md5(array_to_string(list_slice(sig, {b * 4 + 1}, {b * 4 + 4}), '|'))}}"
+    for b in range(4)
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full keyword pass over sf0.001 documents (verdicts)."""
     return Q.page_verdicts(spark, "/root/testdata/sf0.001")
@@ -53,8 +88,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_lineitem_orders": Q.ref_lineitem_orders,
         "ref_customer_nation": Q.ref_customer_nation,
         "enum_event_type": Q.enum_event_type,
-        # distribution drift histogram
+        # distribution drift histogram + distributed PSI/KS scores
         "hist_events_value": Q.hist_events_value,
+        "drift_events_value": Q.drift_events_value,
         # text analysis
         "token_counts": Q.token_counts,
         "quality_docs": Q.quality_docs,
@@ -62,10 +98,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "exact_dup_docs": Q.exact_dup_docs,
         "minhash_pairs": Q.minhash_pairs,
+        "minhash_pairs_md5": Q.minhash_pairs_md5,
         "simhash_pairs": Q.simhash_pairs,
+        "ngram_jaccard_docs": Q.ngram_jaccard_docs,
         # similarity search
         "knn_brute": Q.knn_brute,
         "knn_lsh": Q.knn_lsh,
+        "emb_sim_pairs": Q.emb_sim_pairs,
         # dynamic-JSON validation (Arrow batch evaluator on a real column)
         "props_json_verdicts": Q.props_json_verdicts,
         "props_json_violations": Q.props_json_violations,
@@ -142,6 +181,67 @@ def oracle_sql() -> dict[str, str]:
                    least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19) AS bucket,
                    CAST(count(*) AS BIGINT) AS n
             FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        """,
+        "drift_events_value": """
+            WITH h AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ), g AS (SELECT bucket, sum(n) AS gn FROM h GROUP BY 1),
+            gt AS (SELECT sum(gn) AS gt FROM g),
+            p AS (SELECT day, sum(n) AS pt FROM h GROUP BY 1),
+            grid AS (SELECT p.day, p.pt, b.bucket
+                     FROM p CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS bucket) b),
+            f AS (
+              SELECT grid.day, grid.bucket, coalesce(h.n, 0) AS n,
+                     CAST(coalesce(h.n, 0) AS DOUBLE) / CAST(grid.pt AS DOUBLE) AS pr,
+                     CAST(coalesce(g.gn, 0) AS DOUBLE) / CAST(gt.gt AS DOUBLE) AS q
+              FROM grid
+              LEFT JOIN h ON h.day = grid.day AND h.bucket = grid.bucket
+              LEFT JOIN g ON g.bucket = grid.bucket
+              CROSS JOIN gt
+            ), t AS (
+              SELECT day, n,
+                     (greatest(pr, 1e-6) - greatest(q, 1e-6))
+                       * ln(greatest(pr, 1e-6) / greatest(q, 1e-6)) AS psi_term,
+                     abs(sum(pr) OVER (PARTITION BY day ORDER BY bucket)
+                         - sum(q) OVER (PARTITION BY day ORDER BY bucket)) AS cdf_gap
+              FROM f
+            )
+            SELECT day, CAST(sum(n) AS BIGINT) AS n_values,
+                   sum(psi_term) AS psi, max(cdf_gap) AS ks,
+                   sum(psi_term) <= 0.2 AS drift_passed
+            FROM t GROUP BY day
+        """,
+        "ngram_jaccard_docs": f"""
+            WITH {_shingle_ctes("WHERE doc_id < 300")}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JAC} AS jaccard
+            FROM shg a JOIN shg b ON a.doc_id < b.doc_id
+            WHERE {_JAC} >= 0.5
+        """,
+        "emb_sim_pairs": """
+            WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "minhash_pairs_md5": f"""
+            WITH {_shingle_ctes()},
+            sig AS (SELECT doc_id, sh, [{_MINHASH_SIG}] AS sig FROM shg),
+            bands AS (SELECT doc_id, unnest([{_MINHASH_BANDS}]) AS s FROM sig),
+            bb AS (SELECT doc_id, s.band AS band, s.bucket AS bucket FROM bands),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bb l JOIN bb r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+            )
+            SELECT c.id_a, c.id_b, {_JAC} AS jaccard
+            FROM cand c JOIN shg a ON a.doc_id = c.id_a JOIN shg b ON b.doc_id = c.id_b
+            WHERE {_JAC} >= 0.5
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -164,6 +164,91 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_near_duplicates_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH with an engine-portable hash (md5 hex strings).
+
+    Same pipeline as ``minhash_near_duplicates`` but the per-seed hash
+    is ``min(md5(seed || '|' || shingle))`` under lexicographic string
+    order and the band bucket is ``md5(signature-slice joined by '|')``
+    — every step is reproducible in any SQL engine with ``md5``, so an
+    external oracle (DuckDB) can replay the *entire* LSH pipeline and
+    value-check the output. xxhash64 (the default variant) is faster;
+    this one is the verifiable twin.
+
+    Output: id_a, id_b (id_a < id_b), jaccard:double ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+    base = base.select(
+        "id", word_shingles(F.col("__t"), shingle_n).alias("sh")
+    ).withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("sh"), _md5_seed_factory(i)
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )
+    base = base.persist()
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shingles = base.select("id", "sh")
+    a = shingles.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _md5_seed_factory(i: int):
+    """Unary lambda for transform() — see the arity note above."""
+    return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3,
     threshold: float = 0.7,

@@ -82,6 +82,78 @@ def ks_stat(expected: list[float], actual: list[float]) -> float:
     return best
 
 
+def drift_scores(
+    df: DataFrame,
+    value_col: str,
+    partition_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    eps: float = 1e-6,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """Fully distributed per-partition PSI + KS vs the pooled corpus.
+
+    Unlike ``drift_report`` (driver-side math on the collected
+    histogram), everything here stays in the plan: the only shuffles
+    are the histogram groupBy (map-side combined to ≤ partitions×bins
+    rows) and the final per-partition rollup. The global distribution
+    is n_bins rows and broadcast onto the densified grid.
+
+    PSI terms are (a-e)·ln(a/e) with both sides eps-clamped — each
+    term is ≥ 0, so the sum is cancellation-free and reproducible
+    across engines to ~1e-15 relative.
+
+    Output: <partition_col>, n_values:bigint, psi:double, ks:double,
+    drift_passed:boolean.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    hist = histogram(df, value_col, partition_col, lo, hi, n_bins)
+    glob = (
+        hist.groupBy("bucket")
+        .agg(F.sum("n").alias("gn"))
+        .withColumn("gt", F.sum("gn").over(Window.partitionBy()))
+    )
+    parts = hist.groupBy(partition_col).agg(F.sum("n").alias("__pt"))
+    bins = spark.range(n_bins).select(F.col("id").alias("bucket"))
+    grid = parts.crossJoin(F.broadcast(bins))
+    filled = (
+        grid.join(hist, [partition_col, "bucket"], "left")
+        .join(F.broadcast(glob), ["bucket"], "left")
+        .select(
+            partition_col,
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("__n"),
+            (F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("__pt").cast("double")).alias("__p"),
+            (F.coalesce(F.col("gn"), F.lit(0)).cast("double") / F.col("gt").cast("double")).alias("__q"),
+        )
+    )
+    pc = F.greatest(F.col("__p"), F.lit(eps))
+    qc = F.greatest(F.col("__q"), F.lit(eps))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    terms = filled.select(
+        partition_col,
+        "__n",
+        ((pc - qc) * F.log(pc / qc)).alias("__psi_term"),
+        F.abs(F.sum("__p").over(w) - F.sum("__q").over(w)).alias("__cdf_gap"),
+    )
+    return (
+        terms.groupBy(partition_col)
+        .agg(
+            F.sum("__n").alias("n_values"),
+            F.sum("__psi_term").alias("psi"),
+            F.max("__cdf_gap").alias("ks"),
+        )
+        .withColumn("drift_passed", F.col("psi") <= F.lit(psi_threshold))
+    )
+
+
 def drift_report(
     df: DataFrame,
     value_col: str,

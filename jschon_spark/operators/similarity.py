@@ -207,6 +207,27 @@ def ivf_topk(
     )
 
 
+def brute_force_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos: float = 0.9,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ min_cos (O(n²) — sample/test scale; the
+    LSH-bucketed ``embedding_near_duplicates`` is the scale path).
+
+    Output: id_a, id_b (id_a < id_b), cos:double.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .withColumn("cos", cosine(F.col("l.v"), F.col("r.v")))
+        .filter(F.col("cos") >= min_cos)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cos")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

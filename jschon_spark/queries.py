@@ -133,6 +133,39 @@ def hist_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift.histogram(ev, "value", "day", lo=0.0, hi=500.0, n_bins=20)
 
 
+def drift_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-day PSI/KS drift vs the pooled distribution."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return drift.drift_scores(ev, "value", "day", lo=0.0, hi=500.0, n_bins=20)
+
+
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard on a fixed doc sample (the LSH
+    variants are the scale path; this is the verifiable baseline)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b", "jaccard")
+
+
+def emb_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding cosine ≥ 0.4 (brute baseline for the
+    LSH/IVF near-dup paths)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_pairs(emb, "vec_id", "embedding", min_cos=0.4)
+
+
+def minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash MinHash LSH — the DuckDB oracle replays the whole
+    signature/banding/verify pipeline (md5 everywhere)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates_portable(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(

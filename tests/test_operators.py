@@ -224,3 +224,60 @@ def test_ivf_topk_recall_vs_brute(spark):
         assert q in imap[q]
         recall = len(bmap[q] & imap[q]) / 5
         assert recall >= 0.4, f"query {q}: recall {recall}"
+
+
+def test_drift_scores_matches_driver_report(spark):
+    rows = (
+        [(float(i % 10), "ref") for i in range(1000)]
+        + [(9.0, "shifted") for _ in range(400)]
+        + [(float(i % 7), "mild") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "v double, p string")
+    dist = {
+        r["p"]: r
+        for r in drift.drift_scores(df, "v", "p", 0.0, 10.0, 10).collect()
+    }
+    rep = {d["partition"]: d for d in drift.drift_report(df, "v", "p", 0.0, 10.0, 10)}
+    assert set(dist) == set(rep)
+    for p, d in rep.items():
+        assert math.isclose(dist[p]["psi"], d["psi"], rel_tol=1e-12)
+        assert math.isclose(dist[p]["ks"], d["ks"], rel_tol=1e-12, abs_tol=1e-12)
+        assert dist[p]["drift_passed"] == d["passed"]
+        assert dist[p]["n_values"] == d["n"]
+
+
+def test_minhash_portable_matches_all_pairs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " ok"),
+        (3, "completely different words that share nothing at all with others"),
+        (4, base.replace("dog", "cat")),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in dedup.minhash_near_duplicates_portable(
+            df, "id", "text", shingle_n=2, num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (p.id_a, p.id_b): p.jaccard
+        for p in dedup.ngram_jaccard_pairs(
+            df, "id", "text", shingle_n=2, threshold=0.5
+        ).collect()
+    }
+    # LSH at 16 bands x 2 rows has ~1 - (1-j^2)^16 >= 0.999 recall at j >= 0.5
+    assert got == exact
+
+
+def test_brute_force_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.brute_force_pairs(df, min_cos=0.95).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    assert all(p.cos >= 0.95 for p in pairs)
