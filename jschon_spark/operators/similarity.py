@@ -30,6 +30,8 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -212,17 +214,47 @@ def brute_force_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cos: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ min_cos (O(n²) — sample/test scale; the
     LSH-bucketed ``embedding_near_duplicates`` is the scale path).
+    Pass ``dim`` when known to unroll the pair-stage dot product.
 
     Output: id_a, id_b (id_a < id_b), cos:double.
+
+    Norms are computed once per row in the base relation (not per
+    pair) — same values bit-for-bit as the naive formula, but the
+    O(n²) pair stage runs one array aggregate instead of three. With
+    ``dim`` given, each vector is additionally flattened to ``dim``
+    scalar columns once per ROW, so the per-PAIR dot is a flat
+    multiply-add chain over plain doubles — no array access, no
+    lambda dispatch, same left-to-right fold order (bit-identical).
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        # the raw array rides through the O(n²) join only when needed
+        *([] if dim else [F.col(vec_col).alias("v")]),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+        *(
+            [
+                F.element_at(F.col(vec_col), i).cast("double").alias(f"__e{i}")
+                for i in range(1, dim + 1)
+            ]
+            if dim
+            else []
+        ),
+    )
     l, r = base.alias("l"), base.alias("r")
+    if dim:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + F.col(f"l.__e{i}") * F.col(f"r.__e{i}")
+        pair_dot = acc
+    else:
+        pair_dot = dot(F.col("l.v"), F.col("r.v"))
     return (
         l.join(r, F.col("l.id") < F.col("r.id"))
-        .withColumn("cos", cosine(F.col("l.v"), F.col("r.v")))
+        .withColumn("cos", pair_dot / (F.col("l.nrm") * F.col("r.nrm")))
         .filter(F.col("cos") >= min_cos)
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cos")
     )

@@ -154,7 +154,9 @@ def emb_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding cosine ≥ 0.4 (brute baseline for the
     LSH/IVF near-dup paths)."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.brute_force_pairs(emb, "vec_id", "embedding", min_cos=0.4)
+    return similarity.brute_force_pairs(
+        emb, "vec_id", "embedding", min_cos=0.4, dim=64
+    )
 
 
 def minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
