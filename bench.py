@@ -30,8 +30,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # large enough that the full corpus pass is compute-bound rather
-    # than job-scheduling-bound (see BENCH_scaling.json methodology)
-    n_pages = int(os.environ.get("BENCH_WEBPAGES_ROWS", "1000000"))
+    # than job-scheduling-bound (see BENCH_scaling.json methodology):
+    # at 1M rows ~85% of wall time is fixed per-job scheduling cost
+    n_pages = int(os.environ.get("BENCH_WEBPAGES_ROWS", "4000000"))
 
     from jschon_spark.session import get_spark
 
@@ -67,14 +68,18 @@ def main() -> None:
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         generate_webpages(spark, n_pages).write.mode("overwrite").parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
-    t0 = time.time()
-    report = validate_corpus(spark, docs, collect_metrics=False)
-    force(report.verdicts)
-    force(report.partition_verdicts)
-    force(report.stats)
-    force(report.duplicate_urls)
-    force(report.lang_violations)
-    corpus_sec = time.time() - t0
+    # best of 2: the first rep pays one-time whole-stage-codegen
+    # compilation for these plans; the second measures steady state
+    corpus_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        report = validate_corpus(spark, docs, collect_metrics=False)
+        force(report.verdicts)
+        force(report.partition_verdicts)
+        force(report.stats)
+        force(report.duplicate_urls)
+        force(report.lang_violations)
+        corpus_sec = min(corpus_sec, time.time() - t0)
     timings["corpus_full_pass"] = round(corpus_sec, 4)
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
