@@ -60,6 +60,20 @@ _JAC = (
 _MINHASH_SIG = ", ".join(
     f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(16)
 )
+def _lsh_bucket_sql(vec_expr: str, n_planes: int = 6, dim: int = 64) -> str:
+    """Sign-bit LSH bucket as DuckDB SQL, replaying the exact seeded
+    hyperplanes used by similarity.lsh_topk (full-precision literals)."""
+    from jschon_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=42)
+    bits = [
+        f"(CASE WHEN list_dot_product({vec_expr}, "
+        f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return " + ".join(bits)
+
+
 _MINHASH_BANDS = ", ".join(
     f"{{'band': {b}, 'bucket': md5(array_to_string(list_slice(sig, {b * 4 + 1}, {b * 4 + 4}), '|'))}}"
     for b in range(4)
@@ -100,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": Q.minhash_pairs,
         "minhash_pairs_md5": Q.minhash_pairs_md5,
         "simhash_pairs": Q.simhash_pairs,
+        "simhash_pairs_md5": Q.simhash_pairs_md5,
         "ngram_jaccard_docs": Q.ngram_jaccard_docs,
         # similarity search
         "knn_brute": Q.knn_brute,
@@ -289,6 +304,57 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(q.qv, q.qv))) AS cos
               FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "simhash_pairs_md5": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+'),
+                         x -> x <> '') AS toks
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+              FROM base
+            ), c AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 59), b ->
+                       coalesce(list_sum(list_transform(hs,
+                         x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0)) AS counts
+              FROM h
+            ), s AS (
+              SELECT doc_id,
+                     coalesce(list_sum(list_transform(generate_series(0, 59), b ->
+                       CASE WHEN counts[b + 1] > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)), 0) AS sig
+              FROM c
+            ), ch AS (
+              SELECT doc_id, sig, u.chunk AS chunk,
+                     (sig >> (u.chunk * 15)) & 32767 AS val
+              FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS chunk) u
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.sig AS sig_a, r.sig AS sig_b
+              FROM ch l JOIN ch r
+                ON l.chunk = r.chunk AND l.val = r.val AND l.doc_id < r.doc_id
+            )
+            SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6
+        """,
+        "knn_lsh": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            b AS (SELECT vec_id, v, {_lsh_bucket_sql("v")} AS bucket FROM e),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, b.vec_id,
+                     list_dot_product(b.v, q.qv)
+                     / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+              FROM b JOIN q ON b.bucket = q.bucket
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
               SELECT query_id, vec_id,

@@ -270,7 +270,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_counts(col: Column, bits: int = 64) -> Column:
+def md5_hash60(t: Column) -> Column:
+    """Engine-portable 60-bit token hash: first 15 hex chars of md5.
+    DuckDB equivalent: ``('0x' || substr(md5(t), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash_counts(col: Column, bits: int = 64, hash_fn=None) -> Column:
     """Per-bit ±1 sums over the whitespace tokens (array<bigint>[bits]).
 
     Per token: xxhash64 → ±1 per bit; sum per bit over tokens. Pure
@@ -281,7 +287,7 @@ def simhash_counts(col: Column, bits: int = 64) -> Column:
     # precomputed hash (bit positions are compile-time ints — shift
     # counts must be static; and no CSE happens inside lambdas, so
     # hashing inside the bit loop would cost 64 hashes per token)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, hash_fn or (lambda t: F.xxhash64(t)))
     counts = F.aggregate(
         hashes,
         F.expr(f"array_repeat(0L, {bits})"),
@@ -315,32 +321,42 @@ def simhash_from_counts(counts: Column, bits: int = 64) -> Column:
     return sig
 
 
-def with_simhash(df: DataFrame, text_col: str, out_col: str = "sig") -> DataFrame:
-    """Add a 64-bit SimHash column in two projections (counts, then
+def with_simhash(
+    df: DataFrame, text_col: str, out_col: str = "sig",
+    bits: int = 64, hash_fn=None,
+) -> DataFrame:
+    """Add a SimHash column in two projections (counts, then
     signature) so the aggregate is evaluated once per row."""
     return (
-        df.withColumn("__sh_counts", simhash_counts(F.col(text_col)))
-        .withColumn(out_col, simhash_from_counts(F.col("__sh_counts")))
+        df.withColumn("__sh_counts", simhash_counts(F.col(text_col), bits, hash_fn))
+        .withColumn(out_col, simhash_from_counts(F.col("__sh_counts"), bits))
         .drop("__sh_counts")
     )
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    bits: int = 64, hash_fn=None,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ max_hamming.
 
-    Candidates via 16-bit chunk equality (pigeonhole for ≤3 differing
-    bits over 4 chunks), verified with bit_count(xor).
+    Candidates via (bits/4)-bit chunk equality (pigeonhole for ≤3
+    differing bits over 4 chunks), verified with bit_count(xor).
+    Pass ``hash_fn=md5_hash60, bits=60`` for the engine-portable
+    variant an external SQL oracle can replay.
     """
     base = with_simhash(
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))),
         "__t",
         "sig",
+        bits,
+        hash_fn,
     ).select("id", "sig")
     # both sides of the chunk self-join read this; persist so the
     # 64-bit signature fold runs once per row
     base = base.persist()
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
     chunked = base.select(
         "id",
         "sig",
@@ -349,8 +365,8 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("sig"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("sig"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
                     for i in range(4)

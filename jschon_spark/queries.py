@@ -220,6 +220,15 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash SimHash — the DuckDB oracle replays the signature,
+    chunk-candidate and hamming-verify pipeline bit for bit."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=6, bits=60, hash_fn=dedup.md5_hash60
+    ).select("id_a", "id_b", "hamming")
+
+
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textqa.lang_id(docs, "text").select("doc_id", "lang_pred")
