@@ -412,6 +412,17 @@ def validate_json_column_variant(
     Raises CannotLower when the schema is outside the flat subset."""
     lowerer = VariantLowerer(catalog, assert_formats)
     doc = F.col(json_col)
-    v = F.try_parse_json(doc)
-    passed, violations = lowerer.lower(schema, doc, v, base_uri)
-    return df.withColumn("passed", passed).withColumn("violations", violations)
+    # materialize the parse as its own projection: every keyword
+    # references the variant COLUMN, so the row is parsed once —
+    # inlining the parse expression would re-parse the JSON string in
+    # every subexpression (CollapseProject keeps multi-referenced
+    # non-cheap aliases in their own project)
+    tmp = df.withColumn("__variant_doc", F.try_parse_json(doc))
+    passed, violations = lowerer.lower(
+        schema, doc, F.col("__variant_doc"), base_uri
+    )
+    return (
+        tmp.withColumn("passed", passed)
+        .withColumn("violations", violations)
+        .drop("__variant_doc")
+    )
