@@ -70,15 +70,27 @@ def main() -> None:
     docs = spark.read.parquet(corpus_path)
     # best of 2: the first rep pays one-time whole-stage-codegen
     # compilation for these plans; the second measures steady state
+    from concurrent.futures import ThreadPoolExecutor
+
     corpus_sec = float("inf")
     for _ in range(2):
         t0 = time.time()
         report = validate_corpus(spark, docs, collect_metrics=False)
-        force(report.verdicts)
-        force(report.partition_verdicts)
-        force(report.stats)
-        force(report.duplicate_urls)
-        force(report.lang_violations)
+        # concurrent job submission: stage tails of one output overlap
+        # the ramp-up of the next (what a production driver does)
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            list(
+                pool.map(
+                    force,
+                    (
+                        report.verdicts,
+                        report.partition_verdicts,
+                        report.stats,
+                        report.duplicate_urls,
+                        report.lang_violations,
+                    ),
+                )
+            )
         corpus_sec = min(corpus_sec, time.time() - t0)
     timings["corpus_full_pass"] = round(corpus_sec, 4)
 

@@ -126,6 +126,28 @@ def collect_annotations(schema, kpath: str = "") -> list[dict]:
     return out
 
 
+@output_formatter("verbose")
+def verbose(
+    validated: DataFrame, id_col: str, doc_id: Any = None, schema: Any = None
+) -> dict:
+    """One document's full evaluation view — valid flag, every violation
+    (nested like ``detailed``) PLUS the schema's static annotations
+    (title/description/... are compile-time constants in this engine, so
+    the reference's per-node annotation output
+    (/root/reference/jschon/output.py:107-127) reduces to the schema's
+    annotation table attached to the per-document verdict)."""
+    tree = detailed(validated, id_col, doc_id=doc_id)
+    tree["annotations"] = [
+        {
+            "keywordLocation": a["keyword_path"],
+            "keyword": a["keyword"],
+            "annotation": a["value"],
+        }
+        for a in collect_annotations(schema or {})
+    ]
+    return tree
+
+
 @output_formatter("hierarchical")
 def hierarchical(validated: DataFrame, id_col: str, doc_id: Any = None) -> dict:
     """Alias shape over detailed for now (full keyword-tree nesting is a

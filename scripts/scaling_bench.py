@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import json, os, sys, time
+from concurrent.futures import ThreadPoolExecutor
 sys.path.insert(0, {repo!r})
 from jschon_spark.session import get_spark
 from jschon_spark.pipeline import validate_corpus
@@ -34,13 +35,20 @@ docs = spark.read.parquet({path!r})
 # warm-up: JIT + codegen + file listing (not timed)
 docs.limit(1000).count()
 
+def force(df):
+    df.write.mode("overwrite").format("noop").save()
+
 best = None
 for _ in range({reps}):
     t0 = time.time()
     rep = validate_corpus(spark, docs, collect_metrics=False)
-    for df in (rep.verdicts, rep.partition_verdicts, rep.stats,
-               rep.duplicate_urls, rep.lang_violations):
-        df.write.mode("overwrite").format("noop").save()
+    # submit the five output jobs concurrently: Spark's FIFO scheduler
+    # interleaves their stages, so one job's ramp-down tail overlaps the
+    # next job's ramp-up (exactly what a production driver does)
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        list(pool.map(force, (rep.verdicts, rep.partition_verdicts,
+                              rep.stats, rep.duplicate_urls,
+                              rep.lang_violations)))
     dt = time.time() - t0
     best = dt if best is None else min(best, dt)
 print("RESULT " + json.dumps({{"cores": {cores}, "sec": best}}))
@@ -81,13 +89,24 @@ def main() -> None:
         )
         subprocess.run([sys.executable, "-c", code], check=True, timeout=1800)
 
+    # Interleave the levels round-robin (fresh JVM per rep) and keep
+    # each level's best: the sandbox hypervisor has multi-10s noise
+    # windows, and interleaving exposes both levels to them equally
+    # instead of letting one level eat a whole window.
+    best: dict[int, float] = {}
+    for rep in range(reps):
+        for cores in cores_list:
+            print(f"rep {rep + 1}/{reps} local[{cores}] ...", file=sys.stderr)
+            r = run_level(cores, path, 1)
+            sec = r["sec"]
+            best[cores] = min(best.get(cores, float("inf")), sec)
+            print(f"  local[{cores}]: {sec:.2f}s", file=sys.stderr)
     results = {}
     for cores in cores_list:
-        print(f"running local[{cores}] ...", file=sys.stderr)
-        r = run_level(cores, path, reps)
-        r["docs_per_sec"] = round(rows / r["sec"], 1)
+        r = {"cores": cores, "sec": best[cores],
+             "docs_per_sec": round(rows / best[cores], 1)}
         results[f"local[{cores}]"] = r
-        print(f"  local[{cores}]: {r['sec']:.2f}s = {r['docs_per_sec']} docs/s", file=sys.stderr)
+        print(f"best local[{cores}]: {r['sec']:.2f}s = {r['docs_per_sec']} docs/s", file=sys.stderr)
 
     lo, hi = min(cores_list), max(cores_list)
     tlo = results[f"local[{lo}]"]["docs_per_sec"]

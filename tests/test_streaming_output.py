@@ -160,3 +160,16 @@ def test_stateful_violation_monitor(spark, tmp_path):
         assert latest["b.y"] == (2, 1, True)    # ratio 0.5 -> alert raised
     finally:
         q.stop()
+
+
+def test_verbose_format(spark, validated):
+    from jschon_spark.pipeline import PAGE_SCHEMA
+
+    bad = validated.filter(~F.col("passed")).select("url").first()
+    doc = create_output(
+        validated, "verbose", "url", doc_id=bad.url, schema=PAGE_SCHEMA
+    )
+    assert doc["valid"] is False
+    assert isinstance(doc["annotations"], list)
+    # PAGE_SCHEMA declares format: date-time on warc_ts
+    assert any(a["keyword"] == "format" for a in doc["annotations"])
