@@ -162,8 +162,6 @@ class ColumnLowerer:
             base_uri = urljoin(base_uri, schema["$id"]).split("#", 1)[0]
         if "$dynamicRef" in schema or "$recursiveRef" in schema:
             raise CannotLower("$dynamicRef requires the batch evaluator")
-        if "unevaluatedItems" in schema:
-            raise CannotLower("unevaluatedItems requires the batch evaluator")
 
         json_t = spark_json_type(dtype)
         valids: list[Column] = []
@@ -430,19 +428,17 @@ class ColumnLowerer:
                 F.when(applies, v).otherwise(F.lit(True)),
                 F.when(applies, w).otherwise(_EMPTY_ARR()),
             )
-        if "items" in schema:
-            sub = schema["items"]
-            start = len(prefix)
+        def apply_tail(sub, start: int, label: str) -> None:
+            """Apply ``sub`` to every element at index >= start, with
+            positions in the ORIGINAL array for violation paths."""
 
             def per_elem(x: Column, i: Column):
                 return self._lower(
                     sub, elem_t, x, base_uri,
                     F.concat(ipath, F.lit("/"), i.cast("string")),
-                    f"{kpath}/items",
+                    label,
                 )
 
-            tail = F.slice(col, start + 1, F.greatest(F.size(col) - start, F.lit(0)))
-            # positions in the ORIGINAL array for violation paths
             pairs = F.transform(
                 col, lambda x, i: F.struct(x.alias("x"), i.alias("i"))
             )
@@ -455,6 +451,16 @@ class ColumnLowerer:
                 F.coalesce(valid, F.lit(True)),
                 F.coalesce(viol, _EMPTY_ARR()),
             )
+
+        if "items" in schema:
+            apply_tail(schema["items"], len(prefix), f"{kpath}/items")
+        if "unevaluatedItems" in schema:
+            cov_prefix, covers_rest = self._static_item_coverage(schema, base_uri)
+            if not covers_rest:
+                apply_tail(
+                    schema["unevaluatedItems"], cov_prefix,
+                    f"{kpath}/unevaluatedItems",
+                )
         if "contains" in schema:
             sub = schema["contains"]
 
@@ -525,6 +531,37 @@ class ColumnLowerer:
             names |= n
             patterns += p
         return names, patterns
+
+    def _static_item_coverage(
+        self, schema, base_uri: str, _seen: set | None = None
+    ) -> tuple[int, bool]:
+        """(covered_prefix_len, covers_rest) contributed by this schema
+        and its unconditional in-place children (allOf, $ref) — the
+        item-side twin of _static_coverage. ``contains`` coverage is
+        per-element dynamic and branch applicators make coverage
+        conditional -> CannotLower (batch fallback)."""
+        _seen = _seen or set()
+        if id(schema) in _seen:
+            raise CannotLower("cyclic coverage -> batch")
+        _seen = _seen | {id(schema)}
+        if not isinstance(schema, dict):
+            return 0, False
+        if any(k in schema for k in ("anyOf", "oneOf", "if", "then", "else", "dependentSchemas")):
+            raise CannotLower("unevaluatedItems with branch-dependent coverage -> batch")
+        if "contains" in schema:
+            raise CannotLower("unevaluatedItems alongside contains -> batch")
+        prefix = len(schema.get("prefixItems", []))
+        rest = "items" in schema
+        for sub in schema.get("allOf", []):
+            p, r = self._static_item_coverage(sub, base_uri, _seen)
+            prefix = max(prefix, p)
+            rest = rest or r
+        if "$ref" in schema:
+            target, tbase = self.catalog.resolve(schema["$ref"], base_uri)
+            p, r = self._static_item_coverage(target, tbase, _seen)
+            prefix = max(prefix, p)
+            rest = rest or r
+        return prefix, rest
 
     # -- object applicators over structs -------------------------------------
     def _lower_struct(self, schema, dtype, col, base_uri, ipath, kpath, add):

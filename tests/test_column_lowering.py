@@ -68,6 +68,17 @@ SCHEMAS = [
     {"propertyNames": {"pattern": "^[a-z]+$"}},
     {"$ref": "#/$defs/page", "$defs": {"page": {"required": ["url"], "properties": {"url": {"pattern": "^https"}}}}},
     {"properties": {"url": {"type": "string"}}, "unevaluatedProperties": True},
+    # unevaluatedItems: static coverage through prefixItems and allOf
+    {"properties": {"nums": {"prefixItems": [{"minimum": 1}], "unevaluatedItems": {"maximum": 2}}}},
+    {"properties": {"nums": {"allOf": [{"prefixItems": [{"minimum": 0}, {"minimum": 0}]}], "unevaluatedItems": False}}},
+    {"properties": {"nums": {"items": {"type": "integer"}, "unevaluatedItems": False}}},
+    # unevaluatedProperties coverage through allOf + $ref
+    {
+        "$defs": {"base": {"properties": {"url": True, "lang": True}}},
+        "allOf": [{"$ref": "#/$defs/base"}, {"properties": {"n": True}}],
+        "properties": {"score": True, "flag": True, "tags": True, "nums": True},
+        "unevaluatedProperties": False,
+    },
     # composite
     {
         "type": "object",
@@ -195,3 +206,33 @@ def test_map_violation_paths(spark):
     out = compiled.apply_typed(df).select(F.explode("violations").alias("v")).collect()
     paths = {(r.v.keyword, r.v.instance_path) for r in out}
     assert ("maximum", "/m/b~1c") in paths
+
+
+def test_static_coverage_schemas_lower_without_fallback(spark, typed_df):
+    """The unevaluated* static-coverage schemas must take the typed
+    Column path — falling back to batch would hide a lowering
+    regression (the differential above passes either way)."""
+    lowerable = [
+        {"properties": {"nums": {"prefixItems": [{"minimum": 1}], "unevaluatedItems": {"maximum": 2}}}},
+        {"properties": {"nums": {"allOf": [{"prefixItems": [{"minimum": 0}]}], "unevaluatedItems": False}}},
+        {"properties": {"nums": {"items": {"type": "integer"}, "unevaluatedItems": False}}},
+        {
+            "$defs": {"base": {"properties": {"url": True, "lang": True}}},
+            "allOf": [{"$ref": "#/$defs/base"}, {"properties": {"n": True}}],
+            "properties": {"score": True, "flag": True, "tags": True, "nums": True},
+            "unevaluatedProperties": False,
+        },
+    ]
+    eng = ConstraintEngine()
+    for schema in lowerable:
+        compiled = eng.compile(dict(schema))
+        compiled.lower_columns(typed_df.schema, F.struct(*typed_df.columns))
+    # branch-dependent coverage must still refuse the typed path
+    for schema in [
+        {"properties": {"nums": {"contains": {"minimum": 2}, "unevaluatedItems": False}}},
+        {"if": {"required": ["url"]}, "then": {"properties": {"lang": True}},
+         "unevaluatedProperties": False},
+    ]:
+        compiled = eng.compile(dict(schema))
+        with pytest.raises(CannotLower):
+            compiled.lower_columns(typed_df.schema, F.struct(*typed_df.columns))
