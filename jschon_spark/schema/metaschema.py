@@ -169,3 +169,39 @@ def validate_schema_document(schema: Any) -> None:
                     for u in unknown
                 ]
             )
+    # draft-next forbids fragments in $id entirely
+    # (/root/reference/jschon/vocabulary/future.py:11-25; 2019-09/2020-12
+    # allow an empty fragment, which future.py also rejects)
+    if (
+        isinstance(schema, dict)
+        and "draft/next" in str(schema.get("$schema", ""))
+    ):
+        from jschon_spark.evaluator import Violation
+
+        bad = _ids_with_fragments(schema)
+        if bad:
+            raise SchemaError(
+                [
+                    Violation(
+                        "$id", path, f"{path}/$id",
+                        f"draft-next $id must not contain a fragment: {v!r}",
+                    )
+                    for path, v in bad
+                ]
+            )
+
+
+def _ids_with_fragments(schema: Any, path: str = "") -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    if isinstance(schema, dict):
+        v = schema.get("$id")
+        if isinstance(v, str) and "#" in v:
+            out.append((path, v))
+        for k, sub in schema.items():
+            if isinstance(sub, (dict, list)) and k not in ("enum", "const", "default", "examples"):
+                out.extend(_ids_with_fragments(sub, f"{path}/{k}"))
+    elif isinstance(schema, list):
+        for i, sub in enumerate(schema):
+            if isinstance(sub, (dict, list)):
+                out.extend(_ids_with_fragments(sub, f"{path}/{i}"))
+    return out

@@ -99,3 +99,28 @@ def test_collect_annotations():
     assert ("/properties/url/format", "format") in got
     assert ("/allOf/0/deprecated", "deprecated") in got
     assert not any("not-an-annotation" == r["value"] for r in rows)
+
+
+def test_draft_next_id_forbids_fragments():
+    """draft-next $id must not contain any fragment
+    (/root/reference/jschon/vocabulary/future.py:11-25); 2020-12 still
+    allows an empty one."""
+    from jschon_spark.schema.metaschema import SchemaError, validate_schema_document
+
+    next_schema = {
+        "$schema": "https://json-schema.org/draft/next/schema",
+        "$defs": {"a": {"$id": "https://x.example/s#frag"}},
+    }
+    with pytest.raises(SchemaError):
+        validate_schema_document(next_schema)
+    # same document under 2020-12: empty fragment is legal
+    ok = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$defs": {"a": {"$id": "https://x.example/s#"}},
+    }
+    validate_schema_document(ok)
+    # draft-next without fragmented $id is fine
+    validate_schema_document(
+        {"$schema": "https://json-schema.org/draft/next/schema",
+         "$id": "https://x.example/root", "type": "object"}
+    )
