@@ -110,7 +110,11 @@ def drift_scores(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    hist = histogram(df, value_col, partition_col, lo, hi, n_bins)
+    # the histogram (≤ partitions×bins rows) feeds three branches
+    # (per-partition totals, the global distribution, the densified
+    # join); persist it so the INPUT is scanned exactly once — AQE's
+    # ReuseExchange only dedups some of the three otherwise
+    hist = histogram(df, value_col, partition_col, lo, hi, n_bins).persist()
     glob = (
         hist.groupBy("bucket")
         .agg(F.sum("n").alias("gn"))

@@ -82,3 +82,26 @@ def test_filter_pushdown_reaches_scan(spark, pages_path):
     plan = plan_of(q)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "lang" in pushed[0], plan
+
+
+def test_drift_scores_plan_shape(spark, pages_path):
+    """drift_scores: the only full-input scans are the two histogram
+    groupBys (map-side combined); the bins grid and the global
+    distribution join as broadcasts; no cartesian of the input."""
+    from jschon_spark.operators import drift
+
+    docs = spark.read.parquet(pages_path).withColumn(
+        "day", F.date_format("warc_ts", "yyyy-MM-dd")
+    ).withColumn("text_len", F.length("text").cast("double"))
+    out = drift.drift_scores(docs, "text_len", "day", 0.0, 2000.0, 20)
+    plan = plan_of(out)
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # histograms partial-aggregate before their shuffles
+    assert plan.count("HashAggregate") >= 4, plan
+    # the histogram is persisted: after execution every branch reads the
+    # cached ≤ partitions×bins relation, so the INPUT is scanned once
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "InMemoryTableScan" in executed or "TableCacheQueryStage" in executed
+    ), executed
