@@ -96,3 +96,72 @@ def test_fastpath_fuzz_against_evaluator():
             v = rand_val()
             want = ev.validate(schema, v).valid
             assert fast(v) is want, f"{schema} {v!r}"
+
+
+# ---- Hypothesis: random schemas x random instances -------------------------
+from hypothesis import given, settings, strategies as st
+
+_leaf_schemas = st.sampled_from([
+    {"type": "integer"}, {"type": "string"}, {"type": "number"},
+    {"type": "boolean"}, {"type": "array"}, {"type": "object"},
+    {"minimum": 0}, {"maximum": 3}, {"exclusiveMinimum": -1},
+    {"minLength": 1}, {"maxLength": 2}, {"pattern": "^a"},
+    {"enum": [1, "a", True, None]}, {"const": 2}, {"multipleOf": 2},
+    {"minItems": 1}, {"maxItems": 2}, {"uniqueItems": True},
+    {"required": ["k0"]}, {"minProperties": 1}, {"maxProperties": 2},
+    True, False,
+])
+
+
+def _combine(children):
+    kind, subs = children
+    if kind == "allOf":
+        return {"allOf": subs}
+    if kind == "anyOf":
+        return {"anyOf": subs}
+    if kind == "oneOf":
+        return {"oneOf": subs}
+    if kind == "not":
+        return {"not": subs[0]}
+    if kind == "props":
+        return {"properties": {f"k{i}": s for i, s in enumerate(subs)}}
+    if kind == "items":
+        return {"items": subs[0]}
+    if kind == "ite":
+        out = {"if": subs[0]}
+        if len(subs) > 1:
+            out["then"] = subs[1]
+        if len(subs) > 2:
+            out["else"] = subs[2]
+        return out
+    raise AssertionError(kind)
+
+
+_schemas = st.recursive(
+    _leaf_schemas,
+    lambda inner: st.tuples(
+        st.sampled_from(["allOf", "anyOf", "oneOf", "not", "props", "items", "ite"]),
+        st.lists(inner, min_size=1, max_size=3),
+    ).map(_combine),
+    max_leaves=6,
+)
+
+_instances = st.recursive(
+    st.none() | st.booleans() | st.integers(-5, 5)
+    | st.floats(allow_nan=False, allow_infinity=False, min_value=-9, max_value=9)
+    | st.sampled_from(["", "a", "ab", "zz9"]),
+    lambda inner: st.lists(inner, max_size=3)
+    | st.dictionaries(st.sampled_from(["k0", "k1", "k2"]), inner, max_size=3),
+    max_leaves=5,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_schemas, _instances)
+def test_fastpath_random_schema_differential(schema, instance):
+    """Two independent implementations — the closure compiler and the
+    interpretive evaluator — must agree on every (schema, instance)."""
+    fast, ev, base = _compile(schema if isinstance(schema, dict) else schema)
+    if fast is None:
+        return
+    assert fast(instance) is ev.validate(schema, instance).valid
