@@ -102,3 +102,55 @@ def test_nested_schema_falls_back(spark, docs_df):
     out = compiled.apply_json(docs_df, "doc")  # falls back silently
     got = {r.doc: r.passed for r in out.collect()}
     assert got['{"a": {"nested": 1}}'] is True
+
+
+def test_variant_random_schema_sweep(spark, docs_df):
+    """Seeded random flat schemas: wherever the variant subset lowers,
+    its verdicts must match the batch evaluator on every document."""
+    rng = random.Random(3)
+    leaves = [
+        {"type": "integer"}, {"type": "number"}, {"type": "string"},
+        {"type": "boolean"}, {"type": "object"}, {"type": ["integer", "string"]},
+        {"minimum": 0}, {"maximum": 20}, {"exclusiveMinimum": 1},
+        {"minLength": 1}, {"maxLength": 4}, {"pattern": "^[a-z]"},
+        {"enum": [10, "s", True, None]}, {"const": 17}, {"multipleOf": 5},
+        {"required": ["k"]}, {"minProperties": 1}, {"maxProperties": 2},
+        True, False,
+    ]
+
+    def rand_schema(depth=0):
+        if depth >= 2 or rng.random() < 0.4:
+            return rng.choice(leaves)
+        kind = rng.choice(["allOf", "anyOf", "oneOf", "not", "props", "ite"])
+        if kind == "not":
+            return {"not": rand_schema(depth + 1)}
+        if kind == "props":
+            return {"properties": {
+                k: rand_schema(depth + 1) for k in rng.sample(["k", "name", "x"], rng.randint(1, 2))
+            }}
+        if kind == "ite":
+            return {"if": rand_schema(depth + 1), "then": rand_schema(depth + 1),
+                    "else": rand_schema(depth + 1)}
+        return {kind: [rand_schema(depth + 1) for _ in range(rng.randint(1, 3))]}
+
+    eng = ConstraintEngine()
+    lowered = 0
+    for _ in range(60):
+        schema = rand_schema()
+        compiled = eng.compile(schema if isinstance(schema, bool) else dict(schema))
+        try:
+            v_df = validate_json_column_variant(
+                docs_df, "doc", compiled.schema, compiled.catalog,
+                base_uri=compiled.base_uri,
+            )
+        except CannotLower:
+            continue
+        lowered += 1
+        got = [r.passed for r in v_df.select("passed").collect()]
+        want = [
+            r.passed
+            for r in compiled.apply_json(docs_df, "doc", prefer_variant=False)
+            .select("passed").collect()
+        ]
+        assert got == want, f"schema={schema}"
+    assert lowered >= 20, f"only {lowered} schemas lowered — generator too narrow"
