@@ -259,14 +259,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
     l, r = base.alias("l"), base.alias("r")
-    return (
-        l.join(r, F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            jaccard(F.col("l.sh"), F.col("r.sh")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    jac = jaccard(F.col("l.sh"), F.col("r.sh"))
+    # cheap id predicate FIRST inside the join condition — a post-join
+    # filter is pushed ahead of it and pays the set intersection on all
+    # n² ordered pairs instead of n²/2
+    return l.join(r, (F.col("l.id") < F.col("r.id")) & (jac >= threshold)).select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        jac.alias("jaccard"),
     )
 
 
