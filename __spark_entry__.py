@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus text ops
         "top_tokens": Q.top_tokens,
         "quality_filter": Q.quality_filter,
+        # JSTS-style spec conformance (all §2.1-2.3 keyword families):
+        # engine verdicts vs hand-authored expectations
+        "keyword_conformance": Q.keyword_conformance,
+        "format_conformance": Q.format_conformance,
     }
 
 
@@ -400,4 +404,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # minhash_pairs / simhash_pairs / knn_lsh: hash-function-specific
         # (xxhash64 / murmur3 are Spark-native) — rows-only checks.
+        "keyword_conformance": _conformance_oracle(),
+        "format_conformance": _format_conformance_oracle(),
     }
+
+
+def _conformance_oracle() -> str:
+    """Expected verdicts as a VALUES table: the oracle side never runs
+    the engine, so a hash match means the engine agrees with the
+    hand-authored 2020-12/2019-09 expectations on every corpus case."""
+    from jschon_spark.conformance_corpus import (
+        CASES, DYNAMIC_2019_CASES, LEGACY_2019_CASES,
+    )
+    from jschon_spark.operators.conformance import expected_values_sql
+
+    return expected_values_sql(CASES + LEGACY_2019_CASES + DYNAMIC_2019_CASES)
+
+
+def _format_conformance_oracle() -> str:
+    from jschon_spark.conformance_corpus import FORMAT_CASES
+    from jschon_spark.operators.conformance import expected_values_sql
+
+    return expected_values_sql(FORMAT_CASES)

@@ -462,21 +462,23 @@ class Evaluator:
                         out.evaluated_items.add(i)
                     else:
                         absorb(o, "items")
-            if "contains" in schema:
-                matched = []
-                for i, item in enumerate(instance):
-                    o = sub(schema["contains"], item, "contains", f"/{i}")
-                    if o.valid:
-                        matched.append(i)
-                        out.evaluated_items.add(i)
-                contains_count = len(matched)
-                min_c = schema.get("minContains", 1)
-                if contains_count == 0 and min_c > 0:
-                    err("contains", "no array items match the contains schema")
-                if "maxContains" in schema and contains_count > schema["maxContains"]:
-                    err("maxContains", f"more than {schema['maxContains']} matching items")
-                if "minContains" in schema and contains_count < schema["minContains"]:
-                    err("minContains", f"fewer than {schema['minContains']} matching items")
+        if jt == "array" and "contains" in schema:
+            # runs in BOTH dialect branches: 2019-09 keeps contains alongside
+            # tuple-form items (/root/reference/jschon/vocabulary/applicator.py)
+            matched = []
+            for i, item in enumerate(instance):
+                o = sub(schema["contains"], item, "contains", f"/{i}")
+                if o.valid:
+                    matched.append(i)
+                    out.evaluated_items.add(i)
+            contains_count = len(matched)
+            min_c = schema.get("minContains", 1)
+            if contains_count == 0 and min_c > 0:
+                err("contains", "no array items match the contains schema")
+            if "maxContains" in schema and contains_count > schema["maxContains"]:
+                err("maxContains", f"more than {schema['maxContains']} matching items")
+            if "minContains" in schema and contains_count < schema["minContains"]:
+                err("minContains", f"fewer than {schema['minContains']} matching items")
 
         # ---- object applicators ------------------------------------------
         if jt == "object":

@@ -46,55 +46,80 @@ def make_batch_validator(
     store = schema_store or []
 
     @F.pandas_udf(RESULT_TYPE)
-    def validate_batch(docs: pd.Series) -> pd.DataFrame:
-        # constructed once per Python worker, reused across batches
-        from jschon_spark.evaluator import Evaluator
-        from jschon_spark.fastpath import compile_valid
-        from jschon_spark.schema.catalog import SchemaCatalog, parse_json_strict
+    def validate_batch(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # iterator form: catalog/evaluator/fastpath are built ONCE per task
+        # (and memoized per Python worker via _compiled), not per Arrow batch
+        ev, base, fast, parse = _compiled(schema, store, assert_formats)
 
-        catalog = SchemaCatalog()
-        for extra in store:
-            catalog.register(extra)
-        ev = Evaluator(catalog, assert_formats=assert_formats)
-        base = catalog.register(schema)
-        # closure-compiled valid-only predicate: the full Outcome walk
-        # (violation extraction) then runs only on failing documents
-        fast = compile_valid(
-            schema, catalog, base, assert_formats, ev.formats
-        )
-
-        passed = []
-        violations = []
-        for doc in docs:
-            if doc is None:
-                passed.append(None)
-                violations.append(None)
-                continue
-            try:
-                instance = parse_json_strict(doc)
-            except ValueError as e:
-                passed.append(False)
-                violations.append(
-                    [("", "", "", str(doc)[:256], f"invalid JSON: {e}")]
-                )
-                continue
-            if fast is not None:
-                if fast(instance):
-                    passed.append(True)
-                    violations.append([])
+        for docs in it:
+            passed = []
+            violations = []
+            for doc in docs:
+                if doc is None:
+                    passed.append(None)
+                    violations.append(None)
                     continue
-                # failing doc: full walk for the violation records
-            out = ev._eval(schema, instance, base, [base], "", "")
-            passed.append(out.valid)
-            violations.append(
-                [
-                    (v.keyword, v.instance_path, v.keyword_path, "", v.error)
-                    for v in out.errors
-                ]
-            )
-        return pd.DataFrame({"passed": passed, "violations": violations})
+                try:
+                    instance = parse(doc)
+                except ValueError as e:
+                    passed.append(False)
+                    violations.append(
+                        [("", "", "", str(doc)[:256], f"invalid JSON: {e}")]
+                    )
+                    continue
+                if fast is not None:
+                    if fast(instance):
+                        passed.append(True)
+                        violations.append([])
+                        continue
+                    # failing doc: full walk for the violation records
+                out = ev._eval(schema, instance, base, [base], "", "")
+                passed.append(out.valid)
+                violations.append(
+                    [
+                        (v.keyword, v.instance_path, v.keyword_path, "", v.error)
+                        for v in out.errors
+                    ]
+                )
+            yield pd.DataFrame({"passed": passed, "violations": violations})
 
     return validate_batch
+
+
+_COMPILE_CACHE: dict[str, tuple] = {}
+
+
+def _compiled(schema: Any, store: list, assert_formats: bool) -> tuple:
+    """Per-worker memo of (evaluator, base_uri, fastpath, strict_parser)
+    keyed by schema identity — repeated tasks over the same schema reuse
+    the closure-compiled predicate instead of recompiling."""
+    from jschon_spark.schema.catalog import parse_json_strict
+
+    key = json.dumps(
+        {"s": schema, "x": store, "f": assert_formats},
+        sort_keys=True, default=str,
+    )
+    hit = _COMPILE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    from jschon_spark.evaluator import Evaluator
+    from jschon_spark.fastpath import compile_valid
+    from jschon_spark.schema.catalog import SchemaCatalog
+
+    catalog = SchemaCatalog()
+    for extra in store:
+        catalog.register(extra)
+    ev = Evaluator(catalog, assert_formats=assert_formats)
+    base = catalog.register(schema)
+    # closure-compiled valid-only predicate: the full Outcome walk
+    # (violation extraction) then runs only on failing documents
+    fast = compile_valid(schema, catalog, base, assert_formats, ev.formats)
+    entry = (ev, base, fast, parse_json_strict)
+    if len(_COMPILE_CACHE) > 64:
+        _COMPILE_CACHE.clear()
+    _COMPILE_CACHE[key] = entry
+    return entry
 
 
 def validate_json_column(

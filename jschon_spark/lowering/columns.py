@@ -234,6 +234,15 @@ class ColumnLowerer:
 
     # -- leaf validation keywords -----------------------------------------
     def _lower_validation(self, schema, dtype, json_t, col, ipath, kpath, add):
+        def gated(pred: Column) -> Column:
+            # Type-gated leaf assertions (2020-12 core §7.6: each assertion
+            # applies only to instances of its type) pass vacuously on JSON
+            # null instances — a NULL array element / map value / column is
+            # JSON null, so e.g. maxLength on null is satisfied. Mirrors
+            # variant.py's is-type gating; type/enum/const/required keep
+            # their own explicit null handling.
+            return F.when(col.isNull(), F.lit(True)).otherwise(pred)
+
         if "type" in schema:
             wanted = schema["type"]
             if isinstance(wanted, str):
@@ -279,7 +288,7 @@ class ColumnLowerer:
                         col.cast(T.DecimalType(38, 12))
                         % F.lit(m).cast(T.DecimalType(38, 12))
                     ) == F.lit(0).cast(T.DecimalType(38, 12))
-                add(*_check(pred, "multipleOf", ipath, kpath, col, f"not a multiple of {m}"))
+                add(*_check(gated(pred), "multipleOf", ipath, kpath, col, f"not a multiple of {m}"))
             for kw, op in (
                 ("maximum", lambda c, v: c <= v),
                 ("exclusiveMaximum", lambda c, v: c < v),
@@ -289,7 +298,7 @@ class ColumnLowerer:
                 if kw in schema:
                     add(
                         *_check(
-                            op(col, F.lit(schema[kw])),
+                            gated(op(col, F.lit(schema[kw]))),
                             kw,
                             ipath,
                             kpath,
@@ -303,7 +312,7 @@ class ColumnLowerer:
             if "maxLength" in schema:
                 add(
                     *_check(
-                        F.length(scol) <= schema["maxLength"],
+                        gated(F.length(scol) <= schema["maxLength"]),
                         "maxLength", ipath, kpath, scol,
                         f"longer than {schema['maxLength']}",
                     )
@@ -311,7 +320,7 @@ class ColumnLowerer:
             if "minLength" in schema:
                 add(
                     *_check(
-                        F.length(scol) >= schema["minLength"],
+                        gated(F.length(scol) >= schema["minLength"]),
                         "minLength", ipath, kpath, scol,
                         f"shorter than {schema['minLength']}",
                     )
@@ -321,18 +330,19 @@ class ColumnLowerer:
                 self._check_regex_dialect(pat)
                 add(
                     *_check(
-                        scol.rlike(pat), "pattern", ipath, kpath, scol,
+                        gated(scol.rlike(pat)), "pattern", ipath, kpath, scol,
                         f"does not match pattern {pat}",
                     )
                 )
             if "format" in schema and self.assert_formats:
-                add(*self._lower_format(schema["format"], scol, ipath, kpath))
+                fv, fw = self._lower_format(schema["format"], scol, ipath, kpath)
+                add(gated(fv), F.when(col.isNull(), _EMPTY_ARR()).otherwise(fw))
 
         if json_t == "array":
             if "maxItems" in schema:
                 add(
                     *_check(
-                        F.size(col) <= schema["maxItems"],
+                        gated(F.size(col) <= schema["maxItems"]),
                         "maxItems", ipath, kpath, F.size(col),
                         f"more than {schema['maxItems']} items",
                     )
@@ -340,7 +350,7 @@ class ColumnLowerer:
             if "minItems" in schema:
                 add(
                     *_check(
-                        F.size(col) >= schema["minItems"],
+                        gated(F.size(col) >= schema["minItems"]),
                         "minItems", ipath, kpath, F.size(col),
                         f"fewer than {schema['minItems']} items",
                     )
@@ -351,7 +361,7 @@ class ColumnLowerer:
                 # equality (1 vs 1.0) cannot arise within it
                 add(
                     *_check(
-                        F.size(col) == F.size(F.array_distinct(col)),
+                        gated(F.size(col) == F.size(F.array_distinct(col))),
                         "uniqueItems", ipath, kpath, col,
                         "array items are not unique",
                     )
@@ -365,7 +375,7 @@ class ColumnLowerer:
             if "maxProperties" in schema:
                 add(
                     *_check(
-                        n_present <= schema["maxProperties"],
+                        gated(n_present <= schema["maxProperties"]),
                         "maxProperties", ipath, kpath, n_present,
                         f"more than {schema['maxProperties']} properties",
                     )
@@ -373,7 +383,7 @@ class ColumnLowerer:
             if "minProperties" in schema:
                 add(
                     *_check(
-                        n_present >= schema["minProperties"],
+                        gated(n_present >= schema["minProperties"]),
                         "minProperties", ipath, kpath, n_present,
                         f"fewer than {schema['minProperties']} properties",
                     )
@@ -471,18 +481,24 @@ class ColumnLowerer:
 
             pairs = F.transform(col, lambda x, i: F.struct(x.alias("x"), i.alias("i")))
             n_match = F.size(F.filter(pairs, lambda p: pred(p["x"], p["i"])))
+
+            def gated(p: Column) -> Column:
+                # NULL array = JSON null: contains counts pass vacuously
+                # (F.size(NULL) is NULL and would otherwise fail the check)
+                return F.when(col.isNull(), F.lit(True)).otherwise(p)
+
             min_c = schema.get("minContains", 1)
             if min_c > 0:
                 add(
                     *_check(
-                        n_match > 0, "contains", ipath, kpath, n_match,
+                        gated(n_match > 0), "contains", ipath, kpath, n_match,
                         "no array items match the contains schema",
                     )
                 )
             if "maxContains" in schema:
                 add(
                     *_check(
-                        n_match <= schema["maxContains"],
+                        gated(n_match <= schema["maxContains"]),
                         "maxContains", ipath, kpath, n_match,
                         f"more than {schema['maxContains']} matching items",
                     )
@@ -490,7 +506,7 @@ class ColumnLowerer:
             if "minContains" in schema:
                 add(
                     *_check(
-                        n_match >= min_c, "minContains", ipath, kpath, n_match,
+                        gated(n_match >= min_c), "minContains", ipath, kpath, n_match,
                         f"fewer than {min_c} matching items",
                     )
                 )
@@ -667,12 +683,17 @@ class ColumnLowerer:
                 F.replace(k, F.lit("~"), F.lit("~0")), F.lit("/"), F.lit("~1")
             )
 
+        def gated(pred: Column) -> Column:
+            # NULL map value = JSON null: type-gated object keywords pass
+            # vacuously (same convention as _lower_validation.gated)
+            return F.when(col.isNull(), F.lit(True)).otherwise(pred)
+
         if "maxProperties" in schema:
-            add(*_check(F.size(col) <= schema["maxProperties"],
+            add(*_check(gated(F.size(col) <= schema["maxProperties"]),
                         "maxProperties", ipath, kpath, F.size(col),
                         f"more than {schema['maxProperties']} properties"))
         if "minProperties" in schema:
-            add(*_check(F.size(col) >= schema["minProperties"],
+            add(*_check(gated(F.size(col) >= schema["minProperties"]),
                         "minProperties", ipath, kpath, F.size(col),
                         f"fewer than {schema['minProperties']} properties"))
         if "required" in schema:

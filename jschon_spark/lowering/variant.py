@@ -267,9 +267,12 @@ class VariantLowerer:
             if "properties" in schema:
                 for name, sub in schema["properties"].items():
                     covered.append(name)
-                    child = F.try_variant_get(val, f"$.{name}" if _KEY_RE.match(name) else None, "variant")
                     if not _KEY_RE.match(name):
+                        # check BEFORE building the column: a None path makes
+                        # try_variant_get raise PySparkTypeError, which the
+                        # engine's CannotLower fallback would not catch
                         raise CannotLower(f"property name {name!r} -> batch")
+                    child = F.try_variant_get(val, f"$.{name}", "variant")
                     cv, cw = self._lower_value(
                         sub, child, None,
                         F.concat(ipath, F.lit("/" + pointer_escape(name))),

@@ -1,0 +1,93 @@
+"""Distributed keyword-conformance runner over a JSTS-style corpus.
+
+The reference's crown-jewel test asset is the official
+JSON-Schema-Test-Suite run (/root/reference/tests/test_suite.py:93-192):
+every file is a list of {description, schema, tests: [{data, valid}]}
+groups with hand-authored expected verdicts. This operator replays the
+same shape on Spark: the corpus becomes a DataFrame of
+(case_id, schema_json, doc_json) rows and ONE ``mapInPandas`` pass
+evaluates each document against its row's schema — schemas are
+compiled once per distinct document via the per-worker memo in
+``jschon_spark.lowering.batch._compiled`` (Arrow-batched, never a
+per-row Spark ``udf``).
+
+Expected verdicts never touch the engine, so comparing the output
+against the literal expectations (the driver's DuckDB oracle does this
+via a VALUES table) is a genuine spec-conformance gate covering every
+keyword family in the corpus in one query.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+CONF_INPUT_DDL = "case_id int, schema_json string, doc_json string"
+CONF_OUTPUT_DDL = "case_id int, valid boolean"
+
+
+def flatten_cases(cases: list[dict]) -> list[tuple[int, str, str, bool]]:
+    """(case_id, schema_json, doc_json, expected) rows, one per test.
+
+    case_id enumerates (group, test) pairs in corpus order, so the ids
+    are stable as long as cases are appended, not reordered.
+    """
+    rows: list[tuple[int, str, str, bool]] = []
+    cid = 0
+    for case in cases:
+        sj = json.dumps(case["schema"], sort_keys=True)
+        for data, expected in case["tests"]:
+            rows.append((cid, sj, json.dumps(data), bool(expected)))
+            cid += 1
+    return rows
+
+
+def conformance_verdicts(
+    spark: SparkSession,
+    cases: list[dict],
+    assert_formats: bool = False,
+) -> DataFrame:
+    """(case_id, valid) — the engine's verdict for every corpus test."""
+    rows = [(cid, sj, dj) for cid, sj, dj, _ in flatten_cases(cases)]
+    df = spark.createDataFrame(rows, CONF_INPUT_DDL)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from jschon_spark.lowering.batch import _compiled
+
+        for pdf in batches:
+            out: list[tuple[int, bool]] = []
+            for cid, sj, dj in zip(
+                pdf["case_id"], pdf["schema_json"], pdf["doc_json"]
+            ):
+                schema = json.loads(sj)
+                ev, base, fast, parse = _compiled(schema, [], assert_formats)
+                instance = parse(dj)
+                ev_valid = bool(
+                    ev._eval(schema, instance, base, [base], "", "").valid
+                )
+                # gate BOTH execution paths at once: a fastpath/evaluator
+                # disagreement yields NULL, which poisons the value hash
+                valid: bool | None = ev_valid
+                if fast is not None and bool(fast(instance)) != ev_valid:
+                    valid = None
+                out.append((int(cid), valid))
+            yield pd.DataFrame(out, columns=["case_id", "valid"])
+
+    return df.mapInPandas(run, CONF_OUTPUT_DDL)
+
+
+def expected_values_sql(cases: list[dict]) -> str:
+    """DuckDB VALUES table of the hand-authored expected verdicts."""
+    vals = ", ".join(
+        f"({cid}, {'true' if exp else 'false'})"
+        for cid, _, _, exp in flatten_cases(cases)
+    )
+    return (
+        "SELECT CAST(case_id AS INTEGER) AS case_id, valid "
+        f"FROM (VALUES {vals}) AS t(case_id, valid)"
+    )

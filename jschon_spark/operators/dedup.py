@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jschon_spark.operators import _cachereg
+
 from jschon_spark.operators.textqa import tokens
 
 
@@ -30,7 +32,13 @@ def _spread(df: DataFrame) -> DataFrame:
     partitions than cores (tiny files), fan out first. At scale the
     input already has >= cores partitions and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # .inputFiles() avoids materializing .rdd (forces RDD-path
+        # analysis, breaks on Spark Connect)
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file-backed plan
+        n_splits = 1
+    if n_splits < target:
         return df.repartition(target)
     return df
 
@@ -113,6 +121,7 @@ def minhash_near_duplicates(
     # of the verify join); without persist each branch would recompute
     # num_hashes passes over every shingle array
     base = base.persist()
+    _cachereg.track("minhash_near_duplicates", base)
 
     # Shuffle economics: the band self-join and the dedup move ONLY
     # (id, band, bucket) — never the shingle arrays. Shingles rejoin
@@ -203,6 +212,7 @@ def minhash_near_duplicates_portable(
         ),
     )
     base = base.persist()
+    _cachereg.track("minhash_near_duplicates_portable", base)
     banded = base.select(
         "id",
         F.explode(
@@ -355,6 +365,7 @@ def simhash_near_duplicates(
     # both sides of the chunk self-join read this; persist so the
     # 64-bit signature fold runs once per row
     base = base.persist()
+    _cachereg.track("simhash_near_duplicates", base)
     chunk_bits = bits // 4
     mask = (1 << chunk_bits) - 1
     chunked = base.select(

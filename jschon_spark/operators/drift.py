@@ -109,12 +109,15 @@ def drift_scores(
     """
     from pyspark.sql import Window
 
+    from jschon_spark.operators import _cachereg
+
     spark = df.sparkSession
     # the histogram (≤ partitions×bins rows) feeds three branches
     # (per-partition totals, the global distribution, the densified
     # join); persist it so the INPUT is scanned exactly once — AQE's
     # ReuseExchange only dedups some of the three otherwise
     hist = histogram(df, value_col, partition_col, lo, hi, n_bins).persist()
+    _cachereg.track("drift_scores", hist)
     glob = (
         hist.groupBy("bucket")
         .agg(F.sum("n").alias("gn"))

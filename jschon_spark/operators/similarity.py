@@ -21,6 +21,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from jschon_spark.operators import _cachereg
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -175,6 +177,7 @@ def ivf_topk(
 
     assigned, centroids = ivf_index(corpus, n_lists, id_col, vec_col, seed)
     assigned = assigned.persist()
+    _cachereg.track("ivf_topk", assigned)
 
     # probe lists per query: computed driver-side against the tiny
     # centroid table, shipped as a literal mapping (queries are small)

@@ -247,9 +247,17 @@ PROPS_SCHEMA = {
 
 def _fan_out(df: DataFrame) -> DataFrame:
     """Tiny single-file inputs arrive as one partition; CPU-bound
-    validation should use every core. No-op at scale (many splits)."""
+    validation should use every core. No-op at scale (many splits).
+
+    Uses ``inputFiles()`` rather than ``df.rdd.getNumPartitions()``:
+    touching ``.rdd`` forces plan analysis through the RDD path and
+    breaks on Spark Connect."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file-backed plan
+        n_splits = 1
+    if n_splits < target:
         return df.repartition(target)
     return df
 
@@ -292,3 +300,27 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.filter(
         (F.col("n_tokens") >= 30) & (F.col("alpha_ratio") >= 0.7)
     ).select("doc_id")
+
+
+def keyword_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-conformance gate: every JSTS-style corpus case (all SURVEY
+    §2.1-2.3 keyword families incl. $dynamicRef / 2019-09 dialect) run
+    through the engine in one mapInPandas pass; the oracle compares the
+    verdicts against the hand-authored expectations. ``sf_dir`` is
+    unused — the corpus is the fixture (mirrors the reference's
+    JSON-Schema-Test-Suite run, /root/reference/tests/test_suite.py)."""
+    from jschon_spark.conformance_corpus import (
+        CASES, DYNAMIC_2019_CASES, LEGACY_2019_CASES,
+    )
+    from jschon_spark.operators.conformance import conformance_verdicts
+
+    cases = CASES + LEGACY_2019_CASES + DYNAMIC_2019_CASES
+    return conformance_verdicts(spark, cases)
+
+
+def format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gate with format assertion enabled (assert_formats=True)."""
+    from jschon_spark.conformance_corpus import FORMAT_CASES
+    from jschon_spark.operators.conformance import conformance_verdicts
+
+    return conformance_verdicts(spark, FORMAT_CASES, assert_formats=True)
