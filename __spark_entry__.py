@@ -60,12 +60,12 @@ _JAC = (
 _MINHASH_SIG = ", ".join(
     f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(16)
 )
-def _lsh_bucket_sql(vec_expr: str, n_planes: int = 6, dim: int = 64) -> str:
+def _lsh_bucket_sql(vec_expr: str, n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
     """Sign-bit LSH bucket as DuckDB SQL, replaying the exact seeded
     hyperplanes used by similarity.lsh_topk (full-precision literals)."""
     from jschon_spark.operators.similarity import _hyperplanes
 
-    planes = _hyperplanes(dim, n_planes, seed=42)
+    planes = _hyperplanes(dim, n_planes, seed=seed)
     bits = [
         f"(CASE WHEN list_dot_product({vec_expr}, "
         f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"
@@ -116,10 +116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": Q.simhash_pairs,
         "simhash_pairs_md5": Q.simhash_pairs_md5,
         "ngram_jaccard_docs": Q.ngram_jaccard_docs,
-        # similarity search
+        # similarity search (brute = recall oracle; LSH/IVF = scale paths)
         "knn_brute": Q.knn_brute,
         "knn_lsh": Q.knn_lsh,
+        "knn_ivf": Q.knn_ivf,
         "emb_sim_pairs": Q.emb_sim_pairs,
+        "emb_near_dup_lsh": Q.emb_near_dup_lsh,
         # dynamic-JSON validation (Arrow batch evaluator on a real column)
         "props_json_verdicts": Q.props_json_verdicts,
         "props_json_violations": Q.props_json_violations,
@@ -406,7 +408,88 @@ def oracle_sql() -> dict[str, str]:
         # (xxhash64 / murmur3 are Spark-native) — rows-only checks.
         "keyword_conformance": _conformance_oracle(),
         "format_conformance": _format_conformance_oracle(),
+        "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),
+        "knn_ivf": _knn_ivf_oracle(),
     }
+
+
+def _emb_near_dup_lsh_oracle(
+    n_planes: int = 6, n_tables: int = 8, dim: int = 64,
+    min_cos: float = 0.4, seed: int = 42,
+) -> str:
+    """Replays embedding_near_duplicates: per-table seeded buckets,
+    OR-construction candidates (DISTINCT pairs), exact-cosine verify."""
+    per_table = ", ".join(
+        f"{{'tbl': {t}, 'bucket': {_lsh_bucket_sql('v', n_planes, dim, seed + t)}}}"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                   FROM embeddings),
+        hashed AS (SELECT vec_id, unnest([{per_table}]) AS tb FROM s),
+        hb AS (SELECT vec_id, tb.tbl AS tbl, tb.bucket AS bucket FROM hashed),
+        cand AS (
+          SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM hb l JOIN hb r
+            ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        FROM cand c JOIN s a ON a.vec_id = c.id_a JOIN s b ON b.vec_id = c.id_b
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {min_cos}
+    """
+
+
+def _knn_ivf_oracle(n_lists: int = 16, n_probe: int = 4, dim: int = 64, k: int = 5) -> str:
+    """Replays ivf_topk_seeded exactly: literal seeded centroids,
+    argmin assignment (ties -> lowest list id), n_probe nearest lists
+    per query, cosine top-k."""
+    from jschon_spark.operators.similarity import seeded_centroids
+
+    cents = seeded_centroids(dim, n_lists, seed=7)
+    values = ", ".join(
+        f"({li}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for li, c in enumerate(cents)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT * FROM (VALUES {values}) AS t(li, c)),
+        ad AS (
+          SELECT e.vec_id, e.v, cent.li,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (e.v[i] - cent.c[i]) * (e.v[i] - cent.c[i]))) AS d
+          FROM e CROSS JOIN cent
+        ),
+        a AS (
+          SELECT vec_id, v, li AS list FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, li) AS rn
+            FROM ad) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        qd AS (
+          SELECT q.query_id, q.qv, cent.li,
+                 list_sum(list_transform(generate_series(1, {dim}),
+                   i -> (q.qv[i] - cent.c[i]) * (q.qv[i] - cent.c[i]))) AS d
+          FROM q CROSS JOIN cent
+        ),
+        qp AS (
+          SELECT query_id, qv, li FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, li) AS rn
+            FROM qd) WHERE rn <= {n_probe}
+        ),
+        scored AS (
+          SELECT qp.query_id, a.vec_id,
+                 list_dot_product(a.v, qp.qv)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qp.qv, qp.qv))) AS cos
+          FROM a JOIN qp ON a.list = qp.li
+        )
+        SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+    """
 
 
 def _conformance_oracle() -> str:

@@ -212,6 +212,92 @@ def ivf_topk(
     )
 
 
+def seeded_centroids(dim: int, n_lists: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids (seeded Gaussian).
+
+    A data-independent alternative to the k-means quantizer in
+    ``ivf_index``: same IVF mechanics (nearest-centroid inverted lists,
+    n_probe search) with centroids that any engine can replay from the
+    seed — the DuckDB oracle embeds them as literals, like the LSH
+    hyperplanes in ``lsh_topk``."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_lists)]
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_list(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based nearest-centroid list id (first minimum wins on ties)."""
+    dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_topk_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF top-k over seeded deterministic centroids (oracle-replayable).
+
+    The corpus is scanned once: each vector is assigned to its nearest
+    inverted list JVM-side (16 unrolled squared-distance aggregates,
+    no Python). The tiny query side expands to its ``n_probe`` nearest
+    lists and BROADCASTS onto the corpus — the corpus never shuffles;
+    at 100 TB the scan cost dominates and only ``n_probe/n_lists`` of
+    candidates are scored. Output matches brute_force_topk.
+    """
+    centroids = seeded_centroids(dim, n_lists, seed)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        assign_list(F.col(vec_col), centroids).alias("__list"),
+    )
+    # per-query probe lists: n_probe nearest centroids, computed with
+    # the same Column expressions on the (tiny) query relation
+    dists = F.array(
+        *[
+            F.struct(
+                _sq_dist(F.col("__qv"), cent).alias("d"),
+                F.lit(li).cast("int").alias("li"),
+            )
+            for li, cent in enumerate(centroids)
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .withColumn("__probe", F.slice(F.array_sort(dists), 1, n_probe))
+        .select(
+            "query_id", "__qv",
+            F.explode(F.transform(F.col("__probe"), lambda s: s["li"])).alias("__list"),
+        )
+    )
+    scored = c.join(F.broadcast(q), "__list").withColumn(
+        "cos", cosine(F.col("__cv"), F.col("__qv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def brute_force_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -274,27 +360,71 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 12,
+    n_planes: int = 6,
+    n_tables: int = 8,
     min_cos: float = 0.95,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucketing + exact verify.
+    """Embedding-cosine near-dup pairs via multi-table LSH + exact verify.
+
+    OR-construction over ``n_tables`` independent sign-bit hash tables
+    of ``n_planes`` planes each (table t uses seed+t): a pair is a
+    candidate if it collides in ANY table — recall
+    1-(1-p^planes)^tables with p = 1-θ/π, tuned by the two knobs.
+
+    Shuffle economics mirror minhash_near_duplicates: the table
+    self-join moves only (id, table, bucket) — never the vectors; the
+    vectors rejoin once per UNIQUE candidate pair for the exact-cosine
+    verify, with norms precomputed per row.
 
     Output: id_a, id_b (id_a < id_b), cos:double with cos ≥ min_cos.
     """
-    planes = _hyperplanes(dim, n_planes, seed)
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
     )
-    l, r = base.alias("l"), base.alias("r")
-    return (
+    # base feeds three branches (hashing + both verify sides)
+    base = base.persist()
+    _cachereg.track("embedding_near_duplicates", base)
+
+    hashed = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("int").alias("tbl"),
+                        lsh_bucket(F.col("v"), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    l, r = hashed.alias("l"), hashed.alias("r")
+    cand = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
         )
-        .withColumn("cos", cosine(F.col("l.v"), F.col("r.v")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("__va"), F.col("nrm").alias("__na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("__vb"), F.col("nrm").alias("__nb")
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= min_cos)
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cos")
+        .select("id_a", "id_b", "cos")
     )

@@ -324,3 +324,27 @@ def format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jschon_spark.operators.conformance import conformance_verdicts
 
     return conformance_verdicts(spark, FORMAT_CASES, assert_formats=True)
+
+
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the SCALE path (LSH bucket join +
+    exact verify) — the headline entry for the family; brute-force
+    all-pairs (emb_sim_pairs) stays as the recall oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(
+        emb, "vec_id", "embedding",
+        dim=64, n_planes=6, n_tables=8, min_cos=0.4, seed=42,
+    )
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over seeded deterministic centroids (third ANN path,
+    oracle-replayable; the k-means variant ivf_topk is pytest-covered)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk_seeded(
+        emb, queries, dim=64, k=5, n_lists=16, n_probe=4, seed=7
+    )
+    return out.select("query_id", "vec_id", "rank")

@@ -281,3 +281,57 @@ def test_brute_force_pairs(spark):
     pairs = similarity.brute_force_pairs(df, min_cos=0.95).collect()
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
     assert all(p.cos >= 0.95 for p in pairs)
+
+
+def test_ivf_topk_seeded_finds_self(spark):
+    import numpy as np
+    from jschon_spark.operators.similarity import ivf_topk_seeded
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(120, 16).astype("float32")
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk_seeded(df, queries, dim=16, k=5, n_lists=8, n_probe=3)
+    per_q = {}
+    for r in got.collect():
+        per_q.setdefault(r.query_id, []).append(r)
+    # a query's own vector is in its nearest list -> always rank 1
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert rs[0].vec_id == q and rs[0].rank == 1
+
+
+def test_embedding_near_duplicates_multi_table_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(40, 16).astype("float32")
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        # planted near-duplicate: tiny perturbation -> cos ~ 1
+        rows.append((2 * i + 1, [float(x) + 1e-3 for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_duplicates(
+        df, dim=16, n_planes=4, n_tables=6, min_cos=0.999
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    # OR-construction over 6 tables: near-identical pairs must all collide
+    assert planted <= got
+
+
+def test_conformance_runner_matches_expectations(spark):
+    from jschon_spark.conformance_corpus import CASES, DYNAMIC_2019_CASES
+    from jschon_spark.operators import conformance
+
+    cases = CASES[:12] + DYNAMIC_2019_CASES
+    got = {
+        r.case_id: r.valid
+        for r in conformance.conformance_verdicts(spark, cases).collect()
+    }
+    for cid, _, _, expected in conformance.flatten_cases(cases):
+        assert got[cid] == expected, f"case {cid}"
