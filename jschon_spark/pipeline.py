@@ -143,7 +143,23 @@ def validate_corpus_checkpointed(
     day = F.date_format("warc_ts", "yyyy-MM-dd")
 
     def job(partition: str) -> dict:
-        part_docs = docs.filter(day == partition)
+        # Prune-friendly day predicate: a function of the timestamp
+        # (date_format(warc_ts) == partition) defeats both Iceberg
+        # days(warc_ts) partition pruning and parquet row-group min/max
+        # skipping — each day-job would rescan the full table. Filter on
+        # the physical partition column when the table has one, else on
+        # a half-open warc_ts range (DataSource V2 derives the
+        # days()-transform partition filter from range predicates).
+        if "day" in docs.columns:
+            part_docs = docs.filter(F.col("day") == partition)
+        else:
+            start = F.to_timestamp(F.lit(partition), "yyyy-MM-dd")
+            end = F.to_timestamp(
+                F.date_add(F.to_date(F.lit(partition), "yyyy-MM-dd"), 1)
+            )
+            part_docs = docs.filter(
+                (F.col("warc_ts") >= start) & (F.col("warc_ts") < end)
+            )
         validated = compiled.apply_typed(part_docs, PAGE_DOC_COLS)
         row = validated.agg(
             F.count(F.lit(1)).alias("n_docs"),

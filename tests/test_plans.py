@@ -105,3 +105,42 @@ def test_drift_scores_plan_shape(spark, pages_path):
     assert (
         "InMemoryTableScan" in executed or "TableCacheQueryStage" in executed
     ), executed
+
+
+def test_checkpoint_day_job_prunes_partitions(spark, tmp_path):
+    """validate_corpus_checkpointed's per-day filter must reach the scan:
+    PartitionFilters on a day-partitioned table, PushedFilters (warc_ts
+    range) on an unpartitioned one."""
+    from jschon_spark.pipeline import PAGE_SCHEMA
+
+    pages = generate_webpages(spark, 2000).withColumn(
+        "day", F.date_format("warc_ts", "yyyy-MM-dd")
+    )
+    part_path = str(tmp_path / "by_day")
+    pages.write.partitionBy("day").parquet(part_path)
+    flat_path = str(tmp_path / "flat")
+    pages.drop("day").write.parquet(flat_path)
+
+    a_day = pages.select("day").first()["day"]
+    compiled = ConstraintEngine(assert_formats=True).compile(PAGE_SCHEMA)
+
+    # partitioned table: physical column filter -> PartitionFilters
+    docs = spark.read.parquet(part_path)
+    out = compiled.apply_typed(
+        docs.filter(F.col("day") == a_day), PAGE_DOC_COLS
+    ).select("url", "passed")
+    plan = plan_of(out)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any(a_day in l for l in pf), plan
+
+    # unpartitioned table: warc_ts range must be in PushedFilters
+    start = F.to_timestamp(F.lit(a_day), "yyyy-MM-dd")
+    end = F.to_timestamp(F.date_add(F.to_date(F.lit(a_day), "yyyy-MM-dd"), 1))
+    flat = spark.read.parquet(flat_path)
+    out2 = compiled.apply_typed(
+        flat.filter((F.col("warc_ts") >= start) & (F.col("warc_ts") < end)),
+        PAGE_DOC_COLS,
+    ).select("url", "passed")
+    plan2 = plan_of(out2)
+    pushed = [l for l in plan2.splitlines() if "PushedFilters" in l]
+    assert pushed and any("warc_ts" in l for l in pushed), plan2
