@@ -59,10 +59,7 @@ def basic(validated: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-@output_formatter("detailed")
-def detailed(validated: DataFrame, id_col: str, doc_id: Any = None) -> dict:
-    """One document's violations re-nested by instance location
-    (driver-side; per-document data is small by construction)."""
+def _doc_violations(validated: DataFrame, id_col: str, doc_id: Any):
     row = (
         validated.filter(F.col(id_col) == doc_id)
         .select("passed", "violations")
@@ -70,26 +67,69 @@ def detailed(validated: DataFrame, id_col: str, doc_id: Any = None) -> dict:
     )
     if not row:
         raise KeyError(f"document {doc_id!r} not found")
-    passed, violations = row[0].passed, row[0].violations or []
-    tree: dict = {"valid": bool(passed), "instanceLocation": "", "errors": []}
-    by_path: dict[str, dict] = {"": tree}
-    for v in sorted(violations, key=lambda v: v.instance_path):
-        node = by_path.setdefault(
-            v.instance_path,
-            {"valid": False, "instanceLocation": v.instance_path, "errors": []},
-        )
-        node["errors"].append(
-            {
-                "keyword": v.keyword,
-                "keywordLocation": v.keyword_path,
-                "error": v.error,
-                "value": v.value,
-            }
-        )
-        if v.instance_path:
-            parent = by_path[""]
-            if node not in parent.setdefault("children", []):
-                parent["children"].append(node)
+    return bool(row[0].passed), list(row[0].violations or [])
+
+
+def _nest_by_path(violations, path_of, node_key: str, leaf) -> dict:
+    """Recursive tree over JSON-pointer paths: every violation hangs off
+    the trie node of its (instance or keyword) location; interior nodes
+    exist for every proper prefix that occurs. Children sorted by path."""
+    root: dict = {node_key: "", "errors": [], "children": {}}
+
+    def child_at(path: str) -> dict:
+        node = root
+        if not path:
+            return node
+        acc = ""
+        for seg in path.split("/")[1:]:
+            acc = f"{acc}/{seg}"
+            node = node["children"].setdefault(
+                acc, {node_key: acc, "errors": [], "children": {}}
+            )
+        return node
+
+    for v in violations:
+        child_at(path_of(v))["errors"].append(leaf(v))
+
+    def finalize(node: dict, is_root: bool = False) -> dict:
+        kids = [finalize(node["children"][k]) for k in sorted(node["children"])]
+        # collapse error-less single-child interior nodes, like the
+        # reference's detailed formatter (output.py:87-89) — a chain
+        # /properties/tags/items shows as one node, not three
+        if not is_root and not node["errors"] and len(kids) == 1:
+            return kids[0]
+        out = {"valid": False, node_key: node[node_key]}
+        if node["errors"]:
+            out["errors"] = node["errors"]
+        if kids:
+            out["children"] = kids
+        return out
+
+    return finalize(root, is_root=True)
+
+
+@output_formatter("detailed")
+def detailed(validated: DataFrame, id_col: str, doc_id: Any = None) -> dict:
+    """One document's violations re-nested RECURSIVELY by instance
+    location (driver-side; per-document data is small by construction).
+    Mirrors the reference's detailed format
+    (/root/reference/jschon/output.py:73-103): a tree following the
+    instance structure with per-node error arrays; ours keys nodes by
+    instance JSON pointer rather than the Result graph."""
+    passed, violations = _doc_violations(validated, id_col, doc_id)
+    if passed:
+        return {"valid": True, "instanceLocation": "", "errors": []}
+    tree = _nest_by_path(
+        sorted(violations, key=lambda v: (v.instance_path, v.keyword_path)),
+        lambda v: v.instance_path,
+        "instanceLocation",
+        lambda v: {
+            "keyword": v.keyword,
+            "keywordLocation": v.keyword_path,
+            "error": v.error,
+            "value": v.value,
+        },
+    )
     return tree
 
 
@@ -150,6 +190,25 @@ def verbose(
 
 @output_formatter("hierarchical")
 def hierarchical(validated: DataFrame, id_col: str, doc_id: Any = None) -> dict:
-    """Alias shape over detailed for now (full keyword-tree nesting is a
-    driver-side presentation concern; same data)."""
-    return detailed(validated, id_col, doc_id=doc_id)
+    """One document's violations re-nested RECURSIVELY by the KEYWORD
+    evaluation path — the schema-structure view, mirroring the
+    reference's hierarchical format
+    (/root/reference/jschon/output.py:129-165): each node is an
+    evaluation-path step (e.g. /properties/tags/items) with its own
+    errors and the deeper keyword applications as children. Each error
+    leaf keeps its instanceLocation, as the reference's nodes do."""
+    passed, violations = _doc_violations(validated, id_col, doc_id)
+    if passed:
+        return {"valid": True, "evaluationPath": "", "errors": []}
+    tree = _nest_by_path(
+        sorted(violations, key=lambda v: (v.keyword_path, v.instance_path)),
+        lambda v: v.keyword_path,
+        "evaluationPath",
+        lambda v: {
+            "keyword": v.keyword,
+            "instanceLocation": v.instance_path,
+            "error": v.error,
+            "value": v.value,
+        },
+    )
+    return tree

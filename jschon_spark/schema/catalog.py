@@ -63,6 +63,60 @@ def _strip_fragment(uri: str) -> tuple[str, str]:
     return uri, ""
 
 
+class Source:
+    """Loads a schema by path relative to a routed URI prefix; returns
+    None when the resource does not exist (routing then falls through).
+    Reference analogue: jschon.catalog.Source
+    (/root/reference/jschon/catalog/__init__.py:26-33)."""
+
+    suffix: str = ""
+
+    def __call__(self, relative_path: str) -> Schema | None:
+        raise NotImplementedError
+
+
+class LocalSource(Source):
+    """Schemas from a local directory (… + suffix)."""
+
+    def __init__(self, base_dir: str, suffix: str = ".json") -> None:
+        self.base_dir = base_dir
+        self.suffix = suffix
+
+    def __call__(self, relative_path: str) -> Schema | None:
+        path = os.path.join(self.base_dir, relative_path + self.suffix)
+        if not os.path.exists(path):
+            return None
+        with open(path, encoding="utf-8") as f:
+            return parse_json_strict(f.read())
+
+
+class RemoteSource(Source):
+    """Schemas fetched over HTTP(S) with stdlib urllib — driver-side
+    only and at compile time; executors never fetch URIs.
+    Reference analogue: jschon.catalog.RemoteSource + json_loadr
+    (/root/reference/jschon/catalog/__init__.py:57-67, utils.py:52-58)."""
+
+    def __init__(self, base_url: str, suffix: str = "", timeout: float = 10.0) -> None:
+        if not base_url.endswith("/"):
+            base_url += "/"
+        self.base_url = base_url
+        self.suffix = suffix
+        self.timeout = timeout
+
+    def __call__(self, relative_path: str) -> Schema | None:
+        import urllib.error
+        import urllib.request
+
+        url = urljoin(self.base_url, relative_path) + self.suffix
+        try:
+            with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+                return parse_json_strict(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+
+
 class SchemaCatalog:
     """Registry of schema resources keyed by absolute URI.
 
@@ -84,23 +138,28 @@ class SchemaCatalog:
         self._dynamic_anchors: dict[str, dict[str, Schema]] = {}
         # 2019-09 $recursiveAnchor: true at a resource root
         self._recursive_anchors: set[str] = set()
-        # uri prefix -> local directory
-        self._sources: list[tuple[str, str]] = []
+        # uri prefix -> Source callable (longest-prefix routing)
+        self._sources: list[tuple[str, "Source"]] = []
 
     # -- source routing -------------------------------------------------
-    def add_local_source(self, uri_prefix: str, directory: str, suffix: str = ".json") -> None:
-        self._sources.append((uri_prefix, directory))
+    def add_source(self, uri_prefix: str, source: "Source") -> None:
+        """Route URIs under ``uri_prefix`` to ``source`` — longest prefix
+        wins, mirroring jschon's Catalog.add_uri_source
+        (/root/reference/jschon/catalog/__init__.py:131-164)."""
+        self._sources.append((uri_prefix, source))
         self._sources.sort(key=lambda kv: -len(kv[0]))
-        self._source_suffix = suffix
+
+    def add_local_source(self, uri_prefix: str, directory: str, suffix: str = ".json") -> None:
+        self.add_source(uri_prefix, LocalSource(directory, suffix=suffix))
+
+    def add_remote_source(self, uri_prefix: str, base_url: str, suffix: str = "") -> None:
+        self.add_source(uri_prefix, RemoteSource(base_url, suffix=suffix))
 
     def _load_from_source(self, uri: str) -> Schema | None:
-        for prefix, directory in self._sources:
+        for prefix, source in self._sources:
             if uri.startswith(prefix):
-                rel = uri[len(prefix):]
-                path = os.path.join(directory, rel + getattr(self, "_source_suffix", ".json"))
-                if os.path.exists(path):
-                    with open(path, encoding="utf-8") as f:
-                        schema = parse_json_strict(f.read())
+                schema = source(uri[len(prefix):])
+                if schema is not None:
                     self.register(schema, uri)
                     return schema
         return None

@@ -83,3 +83,70 @@ def test_enum_values_not_walked():
     cat.register({"$id": "https://e.x/s", "enum": [{"$id": "https://evil.example/x"}]})
     with pytest.raises(KeyError):
         cat.resolve("https://evil.example/x", "https://e.x/s")
+
+
+def test_remote_source_routing(tmp_path):
+    """RemoteSource over a real local HTTP server: longest-prefix
+    routing, fetch-on-miss, cache-on-register, 404 -> fall-through."""
+    import http.server
+    import threading
+
+    (tmp_path / "positive.json").write_text(
+        json.dumps({"$id": "https://schemas.example/positive", "minimum": 0})
+    )
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        cat = SchemaCatalog()
+        cat.add_remote_source(
+            "https://schemas.example/", f"http://127.0.0.1:{port}/", suffix=".json"
+        )
+        node, base = cat.resolve("https://schemas.example/positive", "")
+        assert node["minimum"] == 0 and base == "https://schemas.example/positive"
+        # a missing resource (404 -> None) raises unresolvable, not a crash
+        with pytest.raises(KeyError):
+            cat.resolve("https://schemas.example/nope", "")
+        # second resolve must hit the registry, not the network
+        srv.shutdown()
+        srv.server_close()
+        node2, _ = cat.resolve("https://schemas.example/positive", "")
+        assert node2 == node
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_remote_source_feeds_ref_compilation(tmp_path):
+    """$ref to a remote URI resolves through the routed source at
+    compile time and validates through the engine."""
+    import http.server
+    import threading
+
+    (tmp_path / "len.json").write_text(json.dumps({"maxLength": 3}))
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(tmp_path), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        from jschon_spark.evaluator import Evaluator
+
+        cat = SchemaCatalog()
+        cat.add_remote_source(
+            "https://schemas.example/", f"http://127.0.0.1:{port}/", suffix=".json"
+        )
+        schema = {"$id": "https://local.example/s",
+                  "$ref": "https://schemas.example/len"}
+        cat.register(schema)
+        ev = Evaluator(cat)
+        assert ev.validate(schema, "ab").valid
+        assert not ev.validate(schema, "abcd").valid
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -33,14 +33,79 @@ def test_flag_and_basic_formats(spark, validated):
         create_output(validated, "nope", "url")
 
 
+def _count_errors(node: dict) -> int:
+    return len(node.get("errors", [])) + sum(
+        _count_errors(c) for c in node.get("children", [])
+    )
+
+
 def test_detailed_format(spark, validated):
     bad = validated.filter(~F.col("passed")).select("url").first()
     doc = create_output(validated, "detailed", "url", doc_id=bad.url)
     assert doc["valid"] is False
-    total_errors = len(doc["errors"]) + sum(
-        len(c["errors"]) for c in doc.get("children", [])
+    assert _count_errors(doc) > 0
+
+
+def test_detailed_and_hierarchical_goldens(spark):
+    """Recursive nesting goldens mirroring the reference's formats
+    (/root/reference/tests/test_output.py:85+): detailed follows the
+    instance tree, hierarchical the keyword evaluation path."""
+    schema = {
+        "type": "object",
+        "required": ["name"],
+        "properties": {
+            "name": {"type": "string"},
+            "tags": {"items": {"maxLength": 2}},
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, None, ["okk", "a", "bcd"])],
+        "id long, name string, tags array<string>",
     )
-    assert total_errors > 0
+    compiled = ConstraintEngine().compile(schema)
+    validated = compiled.apply_typed(df, ["name", "tags"])
+
+    det = create_output(validated, "detailed", "id", doc_id=1)
+    assert det == {
+        "valid": False,
+        "instanceLocation": "",
+        "errors": [
+            {"keyword": "required", "keywordLocation": "/required",
+             "error": "missing required property 'name'", "value": "name"},
+        ],
+        "children": [
+            {"valid": False, "instanceLocation": "/tags", "children": [
+                {"valid": False, "instanceLocation": "/tags/0",
+                 "errors": [{"keyword": "maxLength",
+                             "keywordLocation": "/properties/tags/items/maxLength",
+                             "error": "longer than 2", "value": "okk"}]},
+                {"valid": False, "instanceLocation": "/tags/2",
+                 "errors": [{"keyword": "maxLength",
+                             "keywordLocation": "/properties/tags/items/maxLength",
+                             "error": "longer than 2", "value": "bcd"}]},
+            ]},
+        ],
+    }
+
+    hier = create_output(validated, "hierarchical", "id", doc_id=1)
+    assert hier == {
+        "valid": False,
+        "evaluationPath": "",
+        "children": [
+            {"valid": False, "evaluationPath": "/properties/tags/items/maxLength",
+             "errors": [
+                 {"keyword": "maxLength", "instanceLocation": "/tags/0",
+                  "error": "longer than 2", "value": "okk"},
+                 {"keyword": "maxLength", "instanceLocation": "/tags/2",
+                  "error": "longer than 2", "value": "bcd"},
+             ]},
+            {"valid": False, "evaluationPath": "/required",
+             "errors": [
+                 {"keyword": "required", "instanceLocation": "",
+                  "error": "missing required property 'name'", "value": "name"},
+             ]},
+        ],
+    }
 
 
 def test_streaming_validation_memory_sink(spark, tmp_path):
