@@ -497,11 +497,13 @@ def _conformance_oracle() -> str:
     the engine, so a hash match means the engine agrees with the
     hand-authored 2020-12/2019-09 expectations on every corpus case."""
     from jschon_spark.conformance_corpus import (
-        CASES, DYNAMIC_2019_CASES, LEGACY_2019_CASES,
+        CASES, DRAFT_NEXT_CASES, DYNAMIC_2019_CASES, LEGACY_2019_CASES,
     )
     from jschon_spark.operators.conformance import expected_values_sql
 
-    return expected_values_sql(CASES + LEGACY_2019_CASES + DYNAMIC_2019_CASES)
+    return expected_values_sql(
+        CASES + LEGACY_2019_CASES + DYNAMIC_2019_CASES + DRAFT_NEXT_CASES
+    )
 
 
 def _format_conformance_oracle() -> str:

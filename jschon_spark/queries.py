@@ -310,11 +310,11 @@ def keyword_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     unused — the corpus is the fixture (mirrors the reference's
     JSON-Schema-Test-Suite run, /root/reference/tests/test_suite.py)."""
     from jschon_spark.conformance_corpus import (
-        CASES, DYNAMIC_2019_CASES, LEGACY_2019_CASES,
+        CASES, DRAFT_NEXT_CASES, DYNAMIC_2019_CASES, LEGACY_2019_CASES,
     )
     from jschon_spark.operators.conformance import conformance_verdicts
 
-    cases = CASES + LEGACY_2019_CASES + DYNAMIC_2019_CASES
+    cases = CASES + LEGACY_2019_CASES + DYNAMIC_2019_CASES + DRAFT_NEXT_CASES
     return conformance_verdicts(spark, cases)
 
 

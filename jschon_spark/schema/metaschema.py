@@ -125,6 +125,17 @@ KNOWN_VOCABULARIES = {
     "https://json-schema.org/draft/2019-09/vocab/meta-data",
     "https://json-schema.org/draft/2019-09/vocab/format",
     "https://json-schema.org/draft/2019-09/vocab/content",
+    # draft-next: same keyword set as 2020-12 (the reference's _next.py
+    # wires identical keyword classes except IdKeyword_Next,
+    # /root/reference/jschon/catalog/_next.py + vocabulary/future.py)
+    "https://json-schema.org/draft/next/vocab/core",
+    "https://json-schema.org/draft/next/vocab/applicator",
+    "https://json-schema.org/draft/next/vocab/unevaluated",
+    "https://json-schema.org/draft/next/vocab/validation",
+    "https://json-schema.org/draft/next/vocab/meta-data",
+    "https://json-schema.org/draft/next/vocab/format-annotation",
+    "https://json-schema.org/draft/next/vocab/format-assertion",
+    "https://json-schema.org/draft/next/vocab/content",
 }
 
 

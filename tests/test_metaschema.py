@@ -124,3 +124,23 @@ def test_draft_next_id_forbids_fragments():
         {"$schema": "https://json-schema.org/draft/next/schema",
          "$id": "https://x.example/root", "type": "object"}
     )
+
+
+def test_draft_next_vocabulary_recognized():
+    """draft-next $vocabulary URIs are a known set (same keyword classes
+    as 2020-12 in the reference, catalog/_next.py); unknown required
+    vocabularies still raise."""
+    validate_schema_document({
+        "$schema": "https://json-schema.org/draft/next/schema",
+        "$id": "https://e.x/next-vocab",
+        "$vocabulary": {
+            "https://json-schema.org/draft/next/vocab/core": True,
+            "https://json-schema.org/draft/next/vocab/validation": True,
+        },
+        "type": "object",
+    })
+    with pytest.raises(SchemaError):
+        validate_schema_document({
+            "$schema": "https://json-schema.org/draft/next/schema",
+            "$vocabulary": {"https://e.x/custom-vocab": True},
+        })
