@@ -530,7 +530,7 @@ class ColumnLowerer:
         _seen = _seen | {id(schema)}
         if not isinstance(schema, dict):
             return set(), []
-        if any(k in schema for k in ("anyOf", "oneOf", "if", "then", "else", "dependentSchemas")):
+        if "dependentSchemas" in schema:
             raise CannotLower("unevaluatedProperties with branch-dependent coverage -> batch")
         names = set(schema.get("properties", {}))
         patterns = list(schema.get("patternProperties", {}))
@@ -546,6 +546,37 @@ class ColumnLowerer:
             n, p = self._static_coverage(target, tbase, _seen)
             names |= n
             patterns += p
+
+        # Branch applicators stay static when EVERY arm contributes
+        # identical coverage (common in practice: if/then/else refining
+        # values of the same property set). Annotations from a failed
+        # `if` don't count, so the taken-branch coverage is
+        # (if ∪ then) vs (else) — equal → unconditional.
+        def cov(sub) -> tuple[set, frozenset]:
+            n, p = self._static_coverage(sub, base_uri, _seen)
+            return n, frozenset(p)
+
+        if "if" in schema:
+            ifn, ifp = cov(schema["if"])
+            tn, tp = cov(schema["then"]) if "then" in schema else (set(), frozenset())
+            en, ep = cov(schema["else"]) if "else" in schema else (set(), frozenset())
+            true_cov = (ifn | tn, ifp | tp)
+            if true_cov != (en, ep):
+                raise CannotLower(
+                    "unevaluatedProperties with branch-dependent coverage -> batch"
+                )
+            names |= true_cov[0]
+            patterns += sorted(true_cov[1])
+        for comb in ("anyOf", "oneOf"):
+            if comb in schema:
+                covs = [cov(sub) for sub in schema[comb]]
+                if any(c != covs[0] for c in covs[1:]):
+                    raise CannotLower(
+                        "unevaluatedProperties with branch-dependent coverage -> batch"
+                    )
+                if covs:
+                    names |= covs[0][0]
+                    patterns += sorted(covs[0][1])
         return names, patterns
 
     def _static_item_coverage(
@@ -562,7 +593,7 @@ class ColumnLowerer:
         _seen = _seen | {id(schema)}
         if not isinstance(schema, dict):
             return 0, False
-        if any(k in schema for k in ("anyOf", "oneOf", "if", "then", "else", "dependentSchemas")):
+        if "dependentSchemas" in schema:
             raise CannotLower("unevaluatedItems with branch-dependent coverage -> batch")
         if "contains" in schema:
             raise CannotLower("unevaluatedItems alongside contains -> batch")
@@ -577,6 +608,33 @@ class ColumnLowerer:
             p, r = self._static_item_coverage(target, tbase, _seen)
             prefix = max(prefix, p)
             rest = rest or r
+
+        # branch applicators: static when every arm covers identically
+        # (taken-branch = if ∪ then vs else; see _static_coverage)
+        def cov(sub) -> tuple[int, bool]:
+            return self._static_item_coverage(sub, base_uri, _seen)
+
+        if "if" in schema:
+            pi, ri = cov(schema["if"])
+            pt, rt = cov(schema["then"]) if "then" in schema else (0, False)
+            pe, re_ = cov(schema["else"]) if "else" in schema else (0, False)
+            true_cov = (max(pi, pt), ri or rt)
+            if true_cov != (pe, re_):
+                raise CannotLower(
+                    "unevaluatedItems with branch-dependent coverage -> batch"
+                )
+            prefix = max(prefix, true_cov[0])
+            rest = rest or true_cov[1]
+        for comb in ("anyOf", "oneOf"):
+            if comb in schema:
+                covs = [cov(sub) for sub in schema[comb]]
+                if any(c != covs[0] for c in covs[1:]):
+                    raise CannotLower(
+                        "unevaluatedItems with branch-dependent coverage -> batch"
+                    )
+                if covs:
+                    prefix = max(prefix, covs[0][0])
+                    rest = rest or covs[0][1]
         return prefix, rest
 
     # -- object applicators over structs -------------------------------------

@@ -13,11 +13,13 @@ pure Column algebra — no Python even for schemaless documents:
   * ``json_object_keys(doc)``   — key-set keywords (required count,
     additionalProperties, propertyNames, min/maxProperties)
 
-Coverage: flat object schemas over scalar properties plus scalar root
+Coverage: object schemas over scalar and NESTED-OBJECT properties
+(nested levels re-serialize their variant with ``to_json`` for the
+key-set keywords — still pure Column algebra) plus scalar root
 schemas, with the same keyword set the typed lowering supports at the
-leaves. Nested objects/arrays, patternProperties (dynamic paths),
-compound enum/const and unevaluated* raise CannotLower → the Arrow
-batch evaluator takes over. Violations match the batch evaluator's
+leaves. Arrays, patternProperties (dynamic paths), compound enum/const
+and unevaluated* raise CannotLower → the Arrow batch evaluator takes
+over. Violations match the batch evaluator's
 (keyword, instance_path, keyword_path) conventions.
 
 Number comparisons run in double; integers beyond 2^53 may lose
@@ -233,9 +235,11 @@ class VariantLowerer:
                    "minProperties", "properties", "additionalProperties",
                    "propertyNames"}
         if obj_kws & set(schema):
-            if raw_doc is None:
-                raise CannotLower("nested object keywords -> batch")
-            keys = F.json_object_keys(raw_doc)
+            # key set: the root has the raw JSON string; nested objects
+            # re-serialize their variant (to_json(variant) is JVM-side),
+            # so props-style schemas with nested levels stay lowerable
+            keys_src = raw_doc if raw_doc is not None else F.to_json(val)
+            keys = F.json_object_keys(keys_src)
 
             def prop_tag(name: str) -> Column:
                 if not _KEY_RE.match(name):

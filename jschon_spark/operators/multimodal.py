@@ -134,3 +134,128 @@ def frame_sample_plan(
             )
         ),
     )
+
+
+# ---- REAL container probing (no codec libraries needed) ---------------
+#
+# Magic-byte sniffing + header parsing are pure byte arithmetic, so this
+# part of "decode" is NOT stubbed: PNG/GIF/JPEG dimensions and WAV
+# duration come from the actual payload. Only pixel/sample decoding
+# (media_features above) remains a stub in this container.
+
+def sniff_media_type(data: bytes) -> str | None:
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "image/png"
+    if data.startswith(b"\xff\xd8\xff"):
+        return "image/jpeg"
+    if data.startswith((b"GIF87a", b"GIF89a")):
+        return "image/gif"
+    if data.startswith(b"RIFF") and data[8:12] == b"WAVE":
+        return "audio/wav"
+    return None
+
+
+def _png_dims(data: bytes) -> tuple[int, int] | None:
+    # 8-byte signature, 4-byte length, b"IHDR", then width/height (BE)
+    if len(data) >= 24 and data[12:16] == b"IHDR":
+        return (
+            int.from_bytes(data[16:20], "big"),
+            int.from_bytes(data[20:24], "big"),
+        )
+    return None
+
+
+def _gif_dims(data: bytes) -> tuple[int, int] | None:
+    if len(data) >= 10:
+        return (
+            int.from_bytes(data[6:8], "little"),
+            int.from_bytes(data[8:10], "little"),
+        )
+    return None
+
+
+def _jpeg_dims(data: bytes) -> tuple[int, int] | None:
+    # walk the marker stream to the first SOFn frame header
+    i, n = 2, len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 <= n:
+                h = int.from_bytes(data[i + 5:i + 7], "big")
+                w = int.from_bytes(data[i + 7:i + 9], "big")
+                return (w, h)
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def _wav_duration(data: bytes) -> float | None:
+    # RIFF/WAVE: find fmt (byte rate at +8) and data chunk size
+    i, n = 12, len(data)
+    byte_rate = None
+    data_size = None
+    while i + 8 <= n:
+        cid = data[i:i + 4]
+        size = int.from_bytes(data[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 20 <= n:
+            byte_rate = int.from_bytes(data[i + 16:i + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)
+    if byte_rate and data_size is not None:
+        return data_size / byte_rate
+    return None
+
+
+PROBE_SCHEMA = (
+    "media_sha256 string, media_type string, width int, height int, "
+    "duration_sec double, probe_ok boolean"
+)
+
+
+def media_probe(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Real metadata decode over ``mapInPandas``: sniff the container
+    from magic bytes and parse dimensions/duration from the header —
+    per Arrow batch, never per-row Spark ``udf``."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for data in pdf[binary_col]:
+                if data is None:
+                    out.append((None, None, None, None, None, False))
+                    continue
+                data = bytes(data)
+                sha = hashlib.sha256(data).hexdigest()
+                mt = sniff_media_type(data)
+                w = h = None
+                dur = None
+                if mt == "image/png":
+                    dims = _png_dims(data)
+                    w, h = dims if dims else (None, None)
+                elif mt == "image/gif":
+                    dims = _gif_dims(data)
+                    w, h = dims if dims else (None, None)
+                elif mt == "image/jpeg":
+                    dims = _jpeg_dims(data)
+                    w, h = dims if dims else (None, None)
+                elif mt == "audio/wav":
+                    dur = _wav_duration(data)
+                ok = mt is not None and (w is not None or dur is not None)
+                out.append((sha, mt, w, h, dur, ok))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_sha256", "media_type", "width", "height",
+                    "duration_sec", "probe_ok",
+                ],
+            )
+
+    return df.select(binary_col).mapInPandas(probe, schema=PROBE_SCHEMA)

@@ -37,8 +37,8 @@ def _rows(seed: int = 42, n: int = 60):
                 rng.choice([0, 1, 5, 10, 600, -3, None]),
                 rng.choice([0.0, 1.5, 2.0, 19.99, -0.5, None]),
                 rng.choice([True, False, None]),
-                rng.choice([["a", "b"], ["a", "a"], [], ["x"], None]),
-                rng.choice([[1, 2, 3], [1, 1], [], [5], None]),
+                rng.choice([["a", "b"], ["a", "a"], [], ["x"], ["a", None], [None], None]),
+                rng.choice([[1, 2, 3], [1, 1], [], [5], [None, 2], None]),
             )
         )
     return rows
@@ -79,6 +79,20 @@ SCHEMAS = [
         "properties": {"score": True, "flag": True, "tags": True, "nums": True},
         "unevaluatedProperties": False,
     },
+    # branch applicators with IDENTICAL coverage stay typed (round 2)
+    {"if": {"required": ["url"]}, "then": {"properties": {"lang": {"type": "string"}}},
+     "else": {"properties": {"lang": {"type": "string"}}},
+     "properties": {"url": True, "n": True, "score": True, "flag": True,
+                    "tags": True, "nums": True},
+     "unevaluatedProperties": False},
+    {"anyOf": [{"properties": {"n": {"minimum": 0}}},
+               {"properties": {"n": {"maximum": 100}}}],
+     "properties": {"url": True, "lang": True, "score": True, "flag": True,
+                    "tags": True, "nums": True},
+     "unevaluatedProperties": False},
+    {"properties": {"nums": {
+        "oneOf": [{"prefixItems": [{"minimum": 0}]}, {"prefixItems": [{"maximum": 5}]}],
+        "unevaluatedItems": False}}},
     # composite
     {
         "type": "object",
@@ -227,10 +241,27 @@ def test_static_coverage_schemas_lower_without_fallback(spark, typed_df):
     for schema in lowerable:
         compiled = eng.compile(dict(schema))
         compiled.lower_columns(typed_df.schema, F.struct(*typed_df.columns))
-    # branch-dependent coverage must still refuse the typed path
+    # identical-coverage branch applicators also lower (round 2)
+    for schema in [
+        {"if": {"required": ["url"]}, "then": {"properties": {"lang": True}},
+         "else": {"properties": {"lang": True}},
+         "properties": {"url": True, "n": True, "score": True, "flag": True,
+                        "tags": True, "nums": True},
+         "unevaluatedProperties": False},
+        {"anyOf": [{"properties": {"n": {"minimum": 0}}},
+                   {"properties": {"n": {"maximum": 9}}}],
+         "properties": {"url": True, "lang": True, "score": True, "flag": True,
+                        "tags": True, "nums": True},
+         "unevaluatedProperties": False},
+    ]:
+        compiled = eng.compile(dict(schema))
+        compiled.lower_columns(typed_df.schema, F.struct(*typed_df.columns))
+    # branch-DIVERGENT coverage must still refuse the typed path
     for schema in [
         {"properties": {"nums": {"contains": {"minimum": 2}, "unevaluatedItems": False}}},
         {"if": {"required": ["url"]}, "then": {"properties": {"lang": True}},
+         "unevaluatedProperties": False},
+        {"anyOf": [{"properties": {"n": True}}, {"properties": {"score": True}}],
          "unevaluatedProperties": False},
     ]:
         compiled = eng.compile(dict(schema))

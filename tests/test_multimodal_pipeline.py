@@ -99,3 +99,63 @@ def test_iceberg_fallback_roundtrip(spark, tmp_path):
     assert all(len(s) == 16 for s in snaps.values())
     # fingerprints are stable across calls
     assert snaps == partition_snapshots(spark, target)
+
+
+def _tiny_png(w: int, h: int) -> bytes:
+    import struct, zlib
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+    raw = b"\x00" + b"\x00\x00\x00" * w
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw * h)) + chunk(b"IEND", b""))
+
+
+def _tiny_gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 20
+
+
+def _tiny_jpeg(w: int, h: int) -> bytes:
+    import struct
+    sof0 = struct.pack(">BBHBHHB", 0xFF, 0xC0, 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + b"\xff\xe0\x00\x10" + b"JFIF\x00" + b"\x00" * 9 + sof0 + b"\xff\xd9"
+
+
+def _tiny_wav(seconds: float, rate: int = 8000) -> bytes:
+    import struct
+    n = int(seconds * rate)  # 1 byte/sample (8-bit mono)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+    data = b"\x80" * n
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+def test_media_probe_real_headers(spark):
+    """Container probing is REAL decode (pure byte arithmetic): PNG/GIF/
+    JPEG dimensions and WAV duration parsed from actual payloads."""
+    from jschon_spark.operators.multimodal import media_probe
+
+    rows = [
+        (1, _tiny_png(17, 9)),
+        (2, _tiny_gif(300, 200)),
+        (3, _tiny_jpeg(64, 48)),
+        (4, _tiny_wav(2.5)),
+        (5, b"not media at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    by_type = {}
+    for r in media_probe(df).collect():
+        by_type.setdefault(r.media_type, []).append(r)
+    png = by_type["image/png"][0]
+    assert (png.width, png.height, png.probe_ok) == (17, 9, True)
+    gif = by_type["image/gif"][0]
+    assert (gif.width, gif.height) == (300, 200)
+    jpg = by_type["image/jpeg"][0]
+    assert (jpg.width, jpg.height) == (64, 48)
+    wav = by_type["audio/wav"][0]
+    assert abs(wav.duration_sec - 2.5) < 1e-9 and wav.probe_ok
+    unknown = by_type[None]
+    assert any(r.probe_ok is False for r in unknown)

@@ -21,6 +21,10 @@ DOCS = [
     '{"k": 10, "name": ""}', '{"k": 10, "name": "toolongname"}',
     '[1, 2]', '"plain"', "17", "17.5", "true", "null", "not json{", "NaN",
     '{"a": {"nested": 1}}', "{}", None,
+    '{"a": {}}', '{"a": {"nested": -3}}', '{"a": {"nested": 1, "x": 2}}',
+    '{"a": {"nested": 1, "other": 2, "third": 3}}', '{"a": {"longkeyname": 1}}',
+    '{"a": {"nested": {"deep": "s"}}}', '{"a": {"nested": {"deep": 5}}}',
+    '{"a": {"nested": {"notdeep": 1}}}', '{"a": 5}', '{"a": null}',
 ]
 
 SCHEMAS = [
@@ -46,6 +50,16 @@ SCHEMAS = [
     {"$ref": "#/$defs/pos", "$defs": {"pos": {"type": "number", "minimum": 0}}},
     True,
     False,
+    # nested-object properties (round 2: to_json(variant) key sets)
+    {"type": "object", "required": ["a"],
+     "properties": {"a": {"type": "object", "required": ["nested"],
+                          "properties": {"nested": {"type": "integer", "minimum": 0}},
+                          "additionalProperties": False}}},
+    {"properties": {"a": {"minProperties": 1, "maxProperties": 2,
+                          "propertyNames": {"maxLength": 6}}}},
+    {"properties": {"a": {"properties": {"nested": {"properties": {
+        "deep": {"type": "string"}}, "required": ["deep"]}}}}},
+    {"properties": {"a": {"dependentRequired": {"nested": ["other"]}}}},
 ]
 
 
@@ -93,15 +107,26 @@ def test_variant_plan_is_jvm_only(spark, docs_df):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
 
 
-def test_nested_schema_falls_back(spark, docs_df):
+def test_nested_schema_stays_variant_but_arrays_fall_back(spark, docs_df):
+    """Nested-object schemas lower onto variant since round 2
+    (to_json(variant) key sets); array applicators still fall back."""
     eng = ConstraintEngine()
     nested = {"properties": {"a": {"properties": {"b": {"type": "integer"}}}}}
     compiled = eng.compile(nested)
-    with pytest.raises(CannotLower):
-        validate_json_column_variant(docs_df, "doc", compiled.schema, compiled.catalog)
-    out = compiled.apply_json(docs_df, "doc")  # falls back silently
-    got = {r.doc: r.passed for r in out.collect()}
+    out_v = validate_json_column_variant(
+        docs_df, "doc", compiled.schema, compiled.catalog
+    )
+    got = {r.doc: r.passed for r in out_v.collect()}
     assert got['{"a": {"nested": 1}}'] is True
+    assert got['{"a": 5}'] is True  # properties vacuous on non-object
+
+    arrays = {"items": {"type": "integer"}}
+    compiled2 = eng.compile(arrays)
+    with pytest.raises(CannotLower):
+        validate_json_column_variant(docs_df, "doc", compiled2.schema, compiled2.catalog)
+    out = compiled2.apply_json(docs_df, "doc")  # falls back silently
+    got2 = {r.doc: r.passed for r in out.collect()}
+    assert got2["[1, 2]"] is True and got2['"plain"'] is True
 
 
 def test_variant_random_schema_sweep(spark, docs_df):
