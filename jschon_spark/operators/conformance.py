@@ -54,7 +54,9 @@ def conformance_verdicts(
 ) -> DataFrame:
     """(case_id, valid) — the engine's verdict for every corpus test."""
     rows = [(cid, sj, dj) for cid, sj, dj, _ in flatten_cases(cases)]
-    df = spark.createDataFrame(rows, CONF_INPUT_DDL)
+    # a few hundred rows: 8 Arrow tasks beat defaultParallelism(32) —
+    # each extra task pays Python-worker cold start for ~10 rows of work
+    df = spark.createDataFrame(rows, CONF_INPUT_DDL).coalesce(8)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from jschon_spark.lowering.batch import _compiled

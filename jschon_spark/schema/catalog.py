@@ -140,6 +140,8 @@ class SchemaCatalog:
         self._recursive_anchors: set[str] = set()
         # uri prefix -> Source callable (longest-prefix routing)
         self._sources: list[tuple[str, "Source"]] = []
+        # live scope() ids (duplicate detection)
+        self._active_scopes: set = set()
 
     # -- source routing -------------------------------------------------
     def add_source(self, uri_prefix: str, source: "Source") -> None:
@@ -163,6 +165,49 @@ class SchemaCatalog:
                     self.register(schema, uri)
                     return schema
         return None
+
+    # -- scoped registration ----------------------------------------------
+    def scope(self, scope_id=None):
+        """Context manager for a temporary registration scope: schemas
+        registered inside the ``with`` block are popped from the catalog
+        on exit (pre-existing resources are untouched). Reference
+        analogue: Catalog.cache(cacheid)
+        (/root/reference/jschon/catalog/__init__.py:370-391) — used to
+        evaluate ad-hoc/session schemas without polluting the shared
+        registry. Nested scopes unwind LIFO."""
+        import uuid
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _scope():
+            sid = scope_id if scope_id is not None else uuid.uuid4()
+            if sid in self._active_scopes:
+                raise KeyError(f"scope id {sid!r} is already in use")
+            self._active_scopes.add(sid)
+            snap_res = set(self._resources)
+            snap_anc = set(self._anchors)
+            snap_dyn = {k: set(v) for k, v in self._dynamic_anchors.items()}
+            snap_rec = set(self._recursive_anchors)
+            snap_src = list(self._sources)
+            try:
+                yield sid
+            finally:
+                self._active_scopes.discard(sid)
+                self._resources = {
+                    k: v for k, v in self._resources.items() if k in snap_res
+                }
+                self._anchors = {
+                    k: v for k, v in self._anchors.items() if k in snap_anc
+                }
+                self._dynamic_anchors = {
+                    k: {n: s for n, s in v.items() if n in snap_dyn.get(k, ())}
+                    for k, v in self._dynamic_anchors.items()
+                    if k in snap_dyn
+                }
+                self._recursive_anchors &= snap_rec
+                self._sources = snap_src
+
+        return _scope()
 
     # -- registration ---------------------------------------------------
     def register(self, schema: Schema, uri: str | None = None) -> str:

@@ -150,3 +150,39 @@ def test_remote_source_feeds_ref_compilation(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_scope_pops_registrations():
+    """Catalog.scope(): schemas registered inside are dropped on exit;
+    pre-existing resources survive; nested scopes unwind LIFO."""
+    cat = SchemaCatalog()
+    cat.register({"$id": "https://keep.example/s", "type": "integer"})
+    with cat.scope() as sid:
+        assert sid is not None
+        cat.register({"$id": "https://tmp.example/a", "$anchor": "an",
+                      "$dynamicAnchor": "dyn", "type": "string"})
+        node, _ = cat.resolve("https://tmp.example/a", "")
+        assert node["type"] == "string"
+        with cat.scope("inner"):
+            cat.register({"$id": "https://tmp.example/b"})
+            cat.resolve("https://tmp.example/b", "")
+        with pytest.raises(KeyError):
+            cat.resolve("https://tmp.example/b", "")
+        # outer-scope registration still live after inner exit
+        cat.resolve("https://tmp.example/a", "")
+    with pytest.raises(KeyError):
+        cat.resolve("https://tmp.example/a", "")
+    with pytest.raises(KeyError):
+        cat.resolve("#an", "https://tmp.example/a")
+    assert not cat.has_dynamic_anchor("https://tmp.example/a", "dyn")
+    # untouched pre-existing resource
+    node, _ = cat.resolve("https://keep.example/s", "")
+    assert node["type"] == "integer"
+
+
+def test_scope_duplicate_id_rejected():
+    cat = SchemaCatalog()
+    with cat.scope("x"):
+        with pytest.raises(KeyError):
+            with cat.scope("x"):
+                pass
