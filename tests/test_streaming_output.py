@@ -238,3 +238,42 @@ def test_verbose_format(spark, validated):
     assert isinstance(doc["annotations"], list)
     # PAGE_SCHEMA declares format: date-time on warc_ts
     assert any(a["keyword"] == "format" for a in doc["annotations"])
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: a key appearing in two micro-batches
+    is emitted exactly once, with the introducing batch's count."""
+    from jschon_spark.streaming.dedup import first_seen
+
+    src = str(tmp_path / "dedup_src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(
+        [("u1", 1), ("u1", 2), ("u2", 3)], "url string, x int"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("u1", 4), ("u3", 5)], "url string, x int"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = first_seen(stream, "url")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {r.url: r.n_first_batch for r in spark.sql(
+            "SELECT * FROM first_seen_t").collect()}
+    finally:
+        q.stop()
+    # each key exactly once; u1 counted within its introducing batch only
+    assert set(rows) == {"u1", "u2", "u3"}
+    assert rows["u2"] == 1 and rows["u3"] == 1 and rows["u1"] >= 1
