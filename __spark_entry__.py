@@ -94,10 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-column stats (SURVEY.md §2.8)
         "stats_lineitem": Q.stats_lineitem,
         "stats_documents": Q.stats_documents,
-        # uniqueness (salted + plain) and verdict rollup
+        # uniqueness (salted + plain + hash-prefiltered) and verdict rollup
         "dup_user_events": Q.dup_user_events,
         "dup_user_events_salted": Q.dup_user_events_salted,
         "dup_verdict_orders": Q.dup_verdict_orders,
+        "dup_text_prefiltered": Q.dup_text_prefiltered,
         # referential checks (anti-joins) + literal enum
         "ref_lineitem_orders": Q.ref_lineitem_orders,
         "ref_customer_nation": Q.ref_customer_nation,
@@ -177,6 +178,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_user_events_salted": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_dup
             FROM events GROUP BY user_id HAVING count(*) > 1
+        """,
+        "dup_text_prefiltered": """
+            SELECT md5(props) AS key_md5, CAST(count(*) AS BIGINT) AS n_dup
+            FROM events WHERE props IS NOT NULL
+            GROUP BY props HAVING count(*) > 1
         """,
         "dup_verdict_orders": """
             WITH d AS (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1 HAVING count(*) > 1)

@@ -403,6 +403,12 @@ def embedding_near_duplicates(
             )
         ).alias("tb"),
     ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    # both sides of the candidate self-join read this; the bucket
+    # computation is n_tables×n_planes higher-order-function dot
+    # products per row (interpreted, not codegen'd) — persist so it
+    # runs once per row, not twice
+    hashed = hashed.persist()
+    _cachereg.track("embedding_near_duplicates_hashed", hashed)
     l, r = hashed.alias("l"), hashed.alias("r")
     cand = (
         l.join(

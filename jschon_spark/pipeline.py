@@ -84,8 +84,12 @@ def validate_corpus(
     partition_verdicts = compiled.partition_verdicts(validated, "day")
 
     col_stats = stats.column_stats(docs, ["url", "text", "lang"])
-    dup_urls = uniqueness.duplicate_keys_salted(
-        docs.filter(F.col("url").isNotNull()), "url", buckets=64
+    # hash-prefiltered: the exchange carries 8-byte xxhash64 values with
+    # map-side combine instead of url strings; exact counts run only on
+    # candidate keys. (The salted variant remains the hot-key fallback —
+    # operators/uniqueness.py discusses the trade.)
+    dup_urls = uniqueness.duplicate_keys_prefiltered(
+        docs.filter(F.col("url").isNotNull()), "url"
     )
     lang_viol = referential.referential_violations(
         docs, lang_dim(spark), "lang", "lang_code", select=["url", "lang"]

@@ -348,3 +348,16 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, dim=64, k=5, n_lists=16, n_probe=4, seed=7
     )
     return out.select("query_id", "vec_id", "rank")
+
+
+def dup_text_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection on a WIDE string key via the
+    hash-prefilter shuffle (8-byte xxhash64 exchange + exact verify on
+    candidates only) — the 100 TB shape for url/text dedup. Runs on
+    events.props (the testdata's only wide column with duplicates)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    dups = uniqueness.duplicate_keys_prefiltered(ev, "props")
+    return dups.select(
+        F.md5(F.encode(F.col("props"), "utf-8")).alias("key_md5"),
+        F.col("n_dup"),
+    )

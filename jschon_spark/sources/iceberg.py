@@ -58,10 +58,14 @@ def write_webpages_table(
 def read_webpages_table(
     spark: SparkSession, target: str, catalog: str = "spark_catalog"
 ) -> DataFrame:
+    """The parquet fallback KEEPS the physical ``day`` column: it is the
+    partition column, and downstream day-jobs
+    (pipeline.validate_corpus_checkpointed) filter on it to get
+    directory-level partition pruning — a warc_ts range only skips
+    row groups, not partitions, on the parquet layout."""
     if iceberg_available(spark, catalog):
         return spark.read.table(target)
-    df = spark.read.parquet(target)
-    return df.drop("day") if "day" in df.columns else df
+    return spark.read.parquet(target)
 
 
 def partition_snapshots(

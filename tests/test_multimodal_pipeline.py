@@ -92,7 +92,9 @@ def test_iceberg_fallback_roundtrip(spark, tmp_path):
     target = str(tmp_path / "pages_tbl")
     assert write_webpages_table(spark, docs, target) == "parquet"
     back = read_webpages_table(spark, target)
-    assert set(back.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    # the physical day partition column rides along on the parquet
+    # fallback (day-jobs filter on it for directory-level pruning)
+    assert set(back.columns) == {"url", "warc_ts", "html", "text", "lang", "day"}
     assert back.count() == 1000
     snaps = partition_snapshots(spark, target)
     assert len(snaps) == 30  # 30 distinct days

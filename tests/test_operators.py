@@ -335,3 +335,17 @@ def test_conformance_runner_matches_expectations(spark):
     }
     for cid, _, _, expected in conformance.flatten_cases(cases):
         assert got[cid] == expected, f"case {cid}"
+
+
+def test_duplicate_keys_prefiltered_matches_plain(spark):
+    from jschon_spark.operators import uniqueness
+
+    rows = [(f"https://e.x/{i % 40}",) for i in range(100)] + [(None,)]
+    df = spark.createDataFrame(rows, "url string").filter(F.col("url").isNotNull())
+    plain = {(r.url, r.n_dup) for r in uniqueness.duplicate_keys(df, "url").collect()}
+    pref = {(r.url, r.n_dup)
+            for r in uniqueness.duplicate_keys_prefiltered(df, "url").collect()}
+    pref_nb = {(r.url, r.n_dup)
+               for r in uniqueness.duplicate_keys_prefiltered(
+                   df, "url", broadcast_candidates=False).collect()}
+    assert plain == pref == pref_nb and len(plain) == 40
