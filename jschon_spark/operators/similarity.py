@@ -83,11 +83,36 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     ]
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id from fixed random hyperplanes (deterministic)."""
+def _dot_sql(vec_sql: str, values: list[float]) -> str:
+    """SQL text for dot(vec, literal array) — same zip_with/aggregate
+    fold (left-to-right, double) as :func:`dot`, bit-identical."""
+    arr = ", ".join(f"{float(x)!r}D" for x in values)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from fixed random hyperplanes (deterministic).
+
+    Pass the vector column NAME for the fast path: the whole bucket is
+    built as ONE ``F.expr`` SQL string (one py4j round-trip). Building
+    the same tree with Column operators costs one round-trip per plane
+    element (~3ms each — measured 4s of DRIVER time per 8-table hash,
+    dominating the whole query at test scale). Values are identical;
+    the Column form remains for composed expressions."""
+    if isinstance(vec, str):
+        bits = [
+            "shiftleft(CAST(CASE WHEN "
+            + _dot_sql(vec, p)
+            + f" >= 0 THEN 1 ELSE 0 END AS BIGINT), {i})"
+            for i, p in enumerate(planes)
+        ]
+        return F.expr(" | ".join(bits))
     bucket = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = F.lit([float(x) for x in p])
         bit = F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return bucket
@@ -110,13 +135,13 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket(vec_col, planes).alias("__bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
-            lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+            lsh_bucket(vec_col, planes).alias("__bucket"),
         )
     )
     scored = c.join(q, "__bucket").withColumn(
@@ -224,8 +249,19 @@ def seeded_centroids(dim: int, n_lists: int, seed: int = 7) -> list[list[float]]
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_lists)]
 
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+def _sq_dist_sql(vec_sql: str, centroid: list[float]) -> str:
+    arr = ", ".join(f"{float(x)!r}D" for x in centroid)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sq_dist(vec: Column | str, centroid: list[float]) -> Column:
+    if isinstance(vec, str):
+        return F.expr(_sq_dist_sql(vec, centroid))
+    c = F.lit([float(x) for x in centroid])
     return F.aggregate(
         F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),
@@ -233,8 +269,15 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     )
 
 
-def assign_list(vec: Column, centroids: list[list[float]]) -> Column:
-    """0-based nearest-centroid list id (first minimum wins on ties)."""
+def assign_list(vec: Column | str, centroids: list[list[float]]) -> Column:
+    """0-based nearest-centroid list id (first minimum wins on ties).
+    Pass the column NAME for the one-round-trip F.expr fast path
+    (see lsh_bucket)."""
+    if isinstance(vec, str):
+        ds = ", ".join(_sq_dist_sql(vec, c) for c in centroids)
+        return F.expr(
+            f"CAST(array_position(array({ds}), array_min(array({ds}))) - 1 AS INT)"
+        )
     dists = F.array(*[_sq_dist(vec, c) for c in centroids])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
@@ -264,18 +307,17 @@ def ivf_topk_seeded(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__cv"),
-        assign_list(F.col(vec_col), centroids).alias("__list"),
+        assign_list(vec_col, centroids).alias("__list"),
     )
     # per-query probe lists: n_probe nearest centroids, computed with
-    # the same Column expressions on the (tiny) query relation
-    dists = F.array(
-        *[
-            F.struct(
-                _sq_dist(F.col("__qv"), cent).alias("d"),
-                F.lit(li).cast("int").alias("li"),
-            )
+    # one F.expr on the (tiny) query relation
+    dists = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({_sq_dist_sql('__qv', cent)} AS d, CAST({li} AS INT) AS li)"
             for li, cent in enumerate(centroids)
-        ]
+        )
+        + ")"
     )
     q = (
         queries.select(
@@ -396,7 +438,7 @@ def embedding_near_duplicates(
                 *[
                     F.struct(
                         F.lit(t).cast("int").alias("tbl"),
-                        lsh_bucket(F.col("v"), planes).alias("bucket"),
+                        lsh_bucket("v", planes).alias("bucket"),
                     )
                     for t, planes in enumerate(tables)
                 ]
