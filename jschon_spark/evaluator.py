@@ -74,7 +74,10 @@ def json_equal(a: Any, b: Any) -> bool:
     if ta != tb:
         return False
     if ta == "number":
-        return float(a) == float(b)
+        # exact mathematical equality: float() would collapse integers
+        # above 2^53 (the reference compares exact Python values,
+        # /root/reference/jschon/json.py:277-289)
+        return _dec(a) == _dec(b)
     if ta == "array":
         return len(a) == len(b) and all(json_equal(x, y) for x, y in zip(a, b))
     if ta == "object":
@@ -147,7 +150,24 @@ FORMAT_VALIDATORS: dict[str, tuple[Callable[[Any], bool], tuple[str, ...]]] = {
     "uuid": (lambda v: bool(_UUID_RE.match(v)), ("string",)),
     "regex": (lambda v: _is_regex(v), ("string",)),
     "uri": (lambda v: bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", v)), ("string",)),
+    # round 2: pragmatic forms of the remaining common 2020-12 formats
+    # (the reference ships only json-pointer, formats.py:5-9; the rest
+    # of this registry is engine surface beyond parity)
+    "hostname": (lambda v: bool(_HOSTNAME_RE.match(v)), ("string",)),
+    "email": (lambda v: bool(_EMAIL_RE.match(v)), ("string",)),
+    "duration": (lambda v: bool(_DURATION_RE.match(v)), ("string",)),
+    "relative-json-pointer": (lambda v: bool(_REL_PTR_RE.match(v)), ("string",)),
 }
+
+_HOSTNAME_RE = re.compile(
+    r"^(?=.{1,253}$)([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)*"
+    r"[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?$"
+)
+_EMAIL_RE = re.compile(r"^[^@\s]+@[^@\s]+\.[^@\s]+$")
+_DURATION_RE = re.compile(
+    r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$"
+)
+_REL_PTR_RE = re.compile(r"^(0|[1-9][0-9]*)(#|(/([^~/]|~[01])*)*)$")
 
 
 def _is_regex(v: str) -> bool:
