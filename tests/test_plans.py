@@ -144,3 +144,68 @@ def test_checkpoint_day_job_prunes_partitions(spark, tmp_path):
     plan2 = plan_of(out2)
     pushed = [l for l in plan2.splitlines() if "PushedFilters" in l]
     assert pushed and any("warc_ts" in l for l in pushed), plan2
+
+
+def test_prefiltered_dup_plan_shape(spark, pages_path):
+    """Hash-prefilter: phase-1 exchange carries only the 8-byte hash
+    (map-side combine), candidates broadcast back onto the scan."""
+    from jschon_spark.operators import uniqueness
+
+    docs = spark.read.parquet(pages_path)
+    out = uniqueness.duplicate_keys_prefiltered(docs, "url")
+    plan = plan_of(out)
+    # the candidate join is a broadcast, not a shuffle of url strings
+    assert "BroadcastExchange" in plan, plan
+    # phase 1's exchange partitions by the 8-byte hash, not the key
+    hash_parts = [
+        l for l in plan.splitlines()
+        if "hashpartitioning" in l and "__h" in l
+    ]
+    assert hash_parts, plan
+    # two-phase shape: partial agg below each exchange
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_emb_near_dup_candidate_join_moves_only_ids(spark, tmp_path):
+    """Multi-table LSH: the candidate self-join's exchanges carry
+    (id, tbl, bucket) — never the vectors."""
+    import numpy as np
+    from jschon_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), [float(x) for x in rng.randn(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "emb")
+    emb.write.parquet(path)
+    df = spark.read.parquet(path)
+    out = similarity.embedding_near_duplicates(
+        df, dim=16, n_planes=4, n_tables=3, min_cos=0.9
+    )
+    plan = plan_of(out)
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg[:150]
+        assert "embedding" not in head and "__va" not in head, head
+
+
+def test_ivf_seeded_broadcasts_probes(spark, tmp_path):
+    """IVF: the corpus side never shuffles — probes broadcast onto the
+    assigned scan."""
+    import numpy as np
+    from jschon_spark.operators.similarity import ivf_topk_seeded
+
+    rng = np.random.RandomState(9)
+    rows = [(int(i), [float(x) for x in rng.randn(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "emb2")
+    emb.write.parquet(path)
+    df = spark.read.parquet(path)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk_seeded(df, queries, dim=16, k=3, n_lists=8, n_probe=2)
+    plan = plan_of(out)
+    assert "BroadcastExchange" in plan, plan
+    # the only hash exchange allowed is the top-k window by query_id
+    # (tiny candidate set), never a corpus-wide vector shuffle
+    segs = plan.split("Exchange hashpartitioning")[1:]
+    assert all("query_id" in s[:120] for s in segs), plan
