@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": Q.simhash_pairs,
         "simhash_pairs_md5": Q.simhash_pairs_md5,
         "ngram_jaccard_docs": Q.ngram_jaccard_docs,
+        "minhash_clusters_md5": Q.minhash_clusters_md5,
         # similarity search (brute = recall oracle; LSH/IVF = scale paths)
         "knn_brute": Q.knn_brute,
         "knn_lsh": Q.knn_lsh,
@@ -269,6 +270,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.id_a, c.id_b, {_JAC} AS jaccard
             FROM cand c JOIN shg a ON a.doc_id = c.id_a JOIN shg b ON b.doc_id = c.id_b
             WHERE {_JAC} >= 0.5
+        """,
+        "minhash_clusters_md5": f"""
+            WITH RECURSIVE {_shingle_ctes()},
+            sig AS (SELECT doc_id, sh, [{_MINHASH_SIG}] AS sig FROM shg),
+            bands AS (SELECT doc_id, unnest([{_MINHASH_BANDS}]) AS s FROM sig),
+            bb AS (SELECT doc_id, s.band AS band, s.bucket AS bucket FROM bands),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bb l JOIN bb r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+            ),
+            pairs AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c JOIN shg a ON a.doc_id = c.id_a JOIN shg b ON b.doc_id = c.id_b
+              WHERE {_JAC} >= 0.5
+            ),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a AS id, a AS r FROM edges
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+            )
+            SELECT id, CAST(min(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id
         """,
         "token_counts": r"""
             SELECT doc_id,

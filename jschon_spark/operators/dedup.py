@@ -401,3 +401,81 @@ def simhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS: (id, cluster_id)
+    with cluster_id = the smallest id reachable in the pair graph — the
+    step that turns pairwise matches into dedup groups (keep one per
+    cluster).
+
+    Min-label propagation: each round every node takes the minimum of
+    its own label and its neighbours' labels; converges in
+    graph-diameter rounds (near-dup clusters are shallow — dozens of
+    rounds bound even pathological chains, and the loop stops early on
+    a zero-change round). Each round is one shuffle join + one
+    map-side-combined groupBy on (id, label) pairs only; at 10^12 rows
+    the label relation is far smaller than the corpus (only ids that
+    appear in pairs participate).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    _cachereg.track("duplicate_clusters_edges", edges)
+
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for it in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    _cachereg.track("duplicate_clusters_labels", labels)
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except the smallest id per cluster —
+    the standard keep-one policy over :func:`duplicate_clusters`."""
+    losers = (
+        duplicate_clusters(pairs, id_a, id_b)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("__loser"))
+    )
+    return docs.join(
+        F.broadcast(losers), docs[id_col] == F.col("__loser"), "left_anti"
+    )

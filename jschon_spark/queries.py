@@ -367,3 +367,15 @@ def dup_text_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(F.col("props"), "utf-8")).alias("key_md5"),
         F.col("n_dup"),
     )
+
+
+def minhash_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components (min-label
+    propagation) over the md5-portable MinHash pair graph — the keep-
+    one-per-group step of a dedup pipeline. The DuckDB oracle replays
+    the pair pipeline and computes components with a recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates_portable(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    return dedup.duplicate_clusters(pairs).select("id", "cluster_id")

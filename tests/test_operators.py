@@ -349,3 +349,25 @@ def test_duplicate_keys_prefiltered_matches_plain(spark):
                for r in uniqueness.duplicate_keys_prefiltered(
                    df, "url", broadcast_candidates=False).collect()}
     assert plain == pref == pref_nb and len(plain) == 40
+
+
+def test_duplicate_clusters_and_representatives(spark):
+    from jschon_spark.operators import dedup
+
+    # two chains + one isolated pair: {1-2-3-4}, {10-11}, {20-21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.cluster_id)
+           for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20)}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id long"
+    )
+    kept = {r.doc_id for r in
+            dedup.dedup_representatives(docs, pairs, "doc_id").collect()}
+    # one per cluster (the min id) plus untouched ids
+    assert kept == {1, 10, 20, 99}
