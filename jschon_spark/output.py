@@ -43,10 +43,17 @@ def flag(validated: DataFrame, id_col: str) -> DataFrame:
 
 
 @output_formatter("basic")
-def basic(validated: DataFrame, id_col: str) -> DataFrame:
+def basic(validated: DataFrame, id_col: str, schema: Any = None) -> DataFrame:
     """Flat violation list: the reference's basic 'errors' array
-    (output.py:46-70) exploded to rows."""
-    return (
+    (output.py:46-70) exploded to rows.
+
+    With ``schema`` given, VALID documents additionally emit one row
+    per schema annotation (keyword='annotation' rows mirror the
+    reference's basic 'annotations' array for valid results,
+    output.py:46-70 — annotations are compile-time constants in this
+    engine, so the per-document list is the schema's annotation
+    table)."""
+    errors = (
         validated.filter(~F.col("passed"))
         .select(id_col, F.explode("violations").alias("v"))
         .select(
@@ -57,6 +64,34 @@ def basic(validated: DataFrame, id_col: str) -> DataFrame:
             F.col("v.error").alias("error"),
         )
     )
+    if schema is None:
+        return errors
+    anns = collect_annotations(schema)
+    if not anns:
+        return errors
+    ann_lit = F.array(
+        *[
+            F.struct(
+                F.lit(a["keyword"]).alias("keyword"),
+                F.lit(a["keyword_path"]).alias("keywordLocation"),
+                F.lit("").alias("instanceLocation"),
+                F.lit(str(a["value"])).alias("error"),
+            )
+            for a in anns
+        ]
+    )
+    ann_rows = (
+        validated.filter(F.col("passed"))
+        .select(id_col, F.explode(ann_lit).alias("a"))
+        .select(
+            id_col,
+            F.col("a.keyword").alias("keyword"),
+            F.col("a.keywordLocation").alias("keywordLocation"),
+            F.col("a.instanceLocation").alias("instanceLocation"),
+            F.col("a.error").alias("error"),
+        )
+    )
+    return errors.unionByName(ann_rows)
 
 
 def _doc_violations(validated: DataFrame, id_col: str, doc_id: Any):

@@ -277,3 +277,17 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     # each key exactly once; u1 counted within its introducing batch only
     assert set(rows) == {"u1", "u2", "u3"}
     assert rows["u2"] == 1 and rows["u3"] == 1 and rows["u1"] >= 1
+
+
+def test_basic_with_annotations_for_valid(spark):
+    schema = {"title": "Doc", "properties": {"a": {"type": "integer",
+                                                   "description": "an int"}}}
+    df = spark.createDataFrame([(1, 5), (2, None)], "id long, a long")
+    compiled = ConstraintEngine().compile(schema, validate_schema=False)
+    validated = compiled.apply_typed(df, ["a"])
+    rows = basic(validated, "id", schema=schema).collect()
+    # both docs valid -> 2 docs x 2 annotations, 0 error rows
+    assert len(rows) == 4
+    assert {(r.keyword, r.keywordLocation) for r in rows} == {
+        ("title", "/title"), ("description", "/properties/a/description")
+    }
