@@ -144,14 +144,17 @@ def test_variant_random_schema_sweep(spark, docs_df):
     ]
 
     def rand_schema(depth=0):
-        if depth >= 2 or rng.random() < 0.4:
+        # depth 3 exercises the round-2 NESTED-object lowering
+        # (properties under properties stay on the variant path)
+        if depth >= 3 or rng.random() < 0.35:
             return rng.choice(leaves)
         kind = rng.choice(["allOf", "anyOf", "oneOf", "not", "props", "ite"])
         if kind == "not":
             return {"not": rand_schema(depth + 1)}
         if kind == "props":
             return {"properties": {
-                k: rand_schema(depth + 1) for k in rng.sample(["k", "name", "x"], rng.randint(1, 2))
+                k: rand_schema(depth + 1)
+                for k in rng.sample(["k", "name", "x", "a", "nested"], rng.randint(1, 3))
             }}
         if kind == "ite":
             return {"if": rand_schema(depth + 1), "then": rand_schema(depth + 1),
