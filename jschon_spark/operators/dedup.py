@@ -106,8 +106,15 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs, Jaccard-verified.
+
+    ``max_bucket_size`` drops HOT band buckets from candidate
+    generation (see similarity.embedding_near_duplicates: a mega-
+    cluster of near-identical texts makes the self-join quadratic in
+    the cluster size). Run exact dedup first so identical texts never
+    reach this pass.
 
     Output: id_a, id_b (id_a < id_b), jaccard:double — pairs with
     true n-gram Jaccard ≥ threshold that collided in ≥1 LSH band.
@@ -149,6 +156,14 @@ def minhash_near_duplicates(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("__bn") <= max_bucket_size),
+            ["band", "bucket"],
+        ).drop("__bn")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (

@@ -45,7 +45,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # zero vectors have undefined cosine -> NULL (never a divide-by-zero
+    # error under ANSI mode; filters then exclude the pair)
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
 
 
 def brute_force_topk(
@@ -383,7 +386,8 @@ def brute_force_pairs(
         pair_dot = acc
     else:
         pair_dot = dot(F.col("l.v"), F.col("r.v"))
-    cos = pair_dot / (F.col("l.nrm") * F.col("r.nrm"))
+    denom = F.col("l.nrm") * F.col("r.nrm")
+    cos = F.when(denom > 0, pair_dot / denom)  # NULL for zero vectors
     # both predicates INSIDE the join condition, cheap one first: a
     # post-join filter gets pushed in FRONT of the id comparison by
     # Catalyst, paying the dot product on all n² ordered pairs instead
@@ -406,6 +410,7 @@ def embedding_near_duplicates(
     n_tables: int = 8,
     min_cos: float = 0.95,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH + exact verify.
 
@@ -413,11 +418,24 @@ def embedding_near_duplicates(
     of ``n_planes`` planes each (table t uses seed+t): a pair is a
     candidate if it collides in ANY table — recall
     1-(1-p^planes)^tables with p = 1-θ/π, tuned by the two knobs.
+    SIZE THE PLANES TO THE CORPUS: candidate volume grows quadratically
+    with bucket occupancy n/2^planes, so pick
+    n_planes ≳ log2(n / target_bucket_size) (e.g. 100k vectors → ≥14
+    planes); the test-scale default (6) suits thousands of rows.
 
     Shuffle economics mirror minhash_near_duplicates: the table
     self-join moves only (id, table, bucket) — never the vectors; the
     vectors rejoin once per UNIQUE candidate pair for the exact-cosine
     verify, with norms precomputed per row.
+
+    ``max_bucket_size`` guards against HOT buckets: a mega-cluster of
+    near-identical vectors (boilerplate pages at crawl scale) makes the
+    bucket self-join quadratic in the cluster size — a 6k-member
+    cluster alone yields ~18M candidate pairs per table (measured: OOM
+    on a synthetic corpus with ~6k-fold repeats). Buckets above the cap
+    are dropped from candidate generation (bounded recall loss,
+    standard LSH practice); run EXACT dedup first so identical payloads
+    never reach the near-dup pass.
 
     Output: id_a, id_b (id_a < id_b), cos:double with cos ≥ min_cos.
     """
@@ -449,6 +467,16 @@ def embedding_near_duplicates(
     # computation is n_tables×n_planes higher-order-function dot
     # products per row (interpreted, not codegen'd) — persist so it
     # runs once per row, not twice
+    if max_bucket_size is not None:
+        sizes = hashed.groupBy("tbl", "bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        hashed = (
+            hashed.join(
+                sizes.filter(F.col("__bn") <= max_bucket_size),
+                ["tbl", "bucket"],
+            ).drop("__bn")
+        )
     hashed = hashed.persist()
     _cachereg.track("embedding_near_duplicates_hashed", hashed)
     l, r = hashed.alias("l"), hashed.alias("r")
@@ -468,7 +496,8 @@ def embedding_near_duplicates(
     b = base.select(
         F.col("id").alias("id_b"), F.col("v").alias("__vb"), F.col("nrm").alias("__nb")
     )
-    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(denom > 0, dot(F.col("__va"), F.col("__vb")) / denom)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

@@ -371,3 +371,38 @@ def test_duplicate_clusters_and_representatives(spark):
             dedup.dedup_representatives(docs, pairs, "doc_id").collect()}
     # one per cluster (the min id) plus untouched ids
     assert kept == {1, 10, 20, 99}
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """A mega-cluster of identical vectors must be droppable from
+    candidate generation (quadratic blowup guard); small clusters
+    survive the cap."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]        # hot cluster
+    rows += [(100, [0.0, 1.0, 0.0, 0.0]), (101, [0.0, 0.999, 0.001, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = similarity.embedding_near_duplicates(
+        df, dim=4, n_planes=4, n_tables=2, min_cos=0.99, max_bucket_size=10
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in capped}
+    assert (100, 101) in got                      # small cluster kept
+    assert not any(a < 50 and b < 50 for a, b in got)  # hot cluster dropped
+
+    uncapped = similarity.embedding_near_duplicates(
+        df, dim=4, n_planes=4, n_tables=2, min_cos=0.99
+    ).count()
+    assert uncapped >= 50 * 49 / 2                # quadratic without the cap
+
+
+def test_cosine_zero_vector_is_null_not_error(spark):
+    """ANSI mode: a zero embedding must yield NULL cosine, not a
+    divide-by-zero error."""
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = similarity.brute_force_pairs(df, min_cos=0.5, dim=2).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    near = similarity.embedding_near_duplicates(
+        df, dim=2, n_planes=2, n_tables=2, min_cos=0.5
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in near} <= {(1, 2)}
