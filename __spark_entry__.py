@@ -110,11 +110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": Q.token_counts,
         "quality_docs": Q.quality_docs,
         "lang_id_docs": Q.lang_id_docs,
-        # dedup family
+        # dedup family. The xxhash64 fast paths (minhash_pairs,
+        # simhash_pairs) are benched in bench.py but NOT oracle rows:
+        # DuckDB has no xxhash64, so their value-verified md5 twins
+        # (identical pipeline, portable hash) carry the gate — every
+        # entry here is value-verified, none rows-only.
         "exact_dup_docs": Q.exact_dup_docs,
-        "minhash_pairs": Q.minhash_pairs,
         "minhash_pairs_md5": Q.minhash_pairs_md5,
-        "simhash_pairs": Q.simhash_pairs,
         "simhash_pairs_md5": Q.simhash_pairs_md5,
         "ngram_jaccard_docs": Q.ngram_jaccard_docs,
         "minhash_clusters_md5": Q.minhash_clusters_md5,
@@ -134,6 +136,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine verdicts vs hand-authored expectations
         "keyword_conformance": Q.keyword_conformance,
         "format_conformance": Q.format_conformance,
+        # annotation payloads (§2.4), recursive output formats (§2.7),
+        # checkpoint/resume manifests (§2.8) — round-3 oracle rows
+        "annotations_docs": Q.annotations_docs,
+        "detailed_output_docs": Q.detailed_output_docs,
+        "checkpoint_resume": Q.checkpoint_resume,
+    }
+
+
+def extra_benches() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Perf-tracked but NOT oracle rows (DuckDB cannot replay xxhash64;
+    the md5 twins value-verify the identical pipeline)."""
+    return {
+        "minhash_pairs": Q.minhash_pairs,
+        "simhash_pairs": Q.simhash_pairs,
     }
 
 
@@ -441,7 +457,115 @@ def oracle_sql() -> dict[str, str]:
         "format_conformance": _format_conformance_oracle(),
         "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),
         "knn_ivf": _knn_ivf_oracle(),
+        # §2.4 annotation payloads: hand-authored (keyword, path, JSON
+        # value) rows cross-joined onto every VALID document — the
+        # assertion set of ANNOTATED_DOC_SCHEMA equals DOC_SCHEMA's, so
+        # validity is the same _PASSED predicate
+        "annotations_docs": f"""
+            SELECT doc_id, a.kw AS keyword, a.kpath AS keyword_path,
+                   a.val AS annotation_json
+            FROM documents
+            CROSS JOIN (VALUES
+              ('title', '/title', '"Synthetic web document"'),
+              ('x-pipeline-stage', '/x-pipeline-stage',
+               '{{"name": "ingest", "order": 1}}'),
+              ('examples', '/properties/lang/examples', '["en", "de"]'),
+              ('default', '/properties/n_chars/default', '0'),
+              ('description', '/properties/text/description',
+               '"extracted page text"'),
+              ('contentMediaType', '/properties/text/contentMediaType',
+               '"text/plain"')
+            ) AS a(kw, kpath, val)
+            WHERE {_PASSED}
+        """,
+        "detailed_output_docs": _detailed_output_oracle(),
+        # checkpoint/resume: day b = pmod(doc_id, 3); run 1 covers all
+        # three days, run 2 re-runs ONLY day 2 (its snapshot changed);
+        # n_docs / n_failed replay the PAGE_SCHEMA assertions on the
+        # constructed page rows (url/warc_ts always valid; text needs
+        # length >= 1; lang needs ^[a-z]{{2}}$)
+        "checkpoint_resume": """
+            WITH d AS (
+              SELECT ((doc_id % 3) + 3) % 3 AS b,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN text IS NOT NULL AND length(text) >= 1
+                                    AND lang IS NOT NULL
+                                    AND regexp_matches(lang, '^[a-z]{2}$')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS n_failed
+              FROM documents WHERE doc_id IS NOT NULL GROUP BY 1
+            )
+            SELECT '2024-01-0' || CAST(b + 1 AS VARCHAR) AS day,
+                   TRUE AS ran_first,
+                   (b = 1) AS reran,
+                   CASE WHEN b = 1 THEN 'snap-2b' ELSE 'snap-1' END AS snapshot_id,
+                   n_docs, n_failed
+            FROM d
+        """,
     }
+
+
+def _detailed_output_oracle() -> str:
+    """md5 hashes of HAND-AUTHORED detailed/hierarchical trees for the
+    2-doc fixture in queries.detailed_output_docs — authored from the
+    reference's recursive output semantics
+    (/root/reference/jschon/output.py:73-165), serialized canonically
+    (sorted keys, compact separators) exactly like the Spark side."""
+    import hashlib
+    import json
+
+    det1 = {
+        "valid": False, "instanceLocation": "",
+        "errors": [
+            {"keyword": "required", "keywordLocation": "/required",
+             "error": "missing required property 'name'", "value": "name"},
+        ],
+        "children": [
+            {"valid": False, "instanceLocation": "/tags", "children": [
+                {"valid": False, "instanceLocation": "/tags/0",
+                 "errors": [{"keyword": "maxLength",
+                             "keywordLocation": "/properties/tags/items/maxLength",
+                             "error": "longer than 2", "value": "okk"}]},
+                {"valid": False, "instanceLocation": "/tags/2",
+                 "errors": [{"keyword": "maxLength",
+                             "keywordLocation": "/properties/tags/items/maxLength",
+                             "error": "longer than 2", "value": "bcd"}]},
+            ]},
+        ],
+    }
+    hier1 = {
+        "valid": False, "evaluationPath": "",
+        "children": [
+            {"valid": False,
+             "evaluationPath": "/properties/tags/items/maxLength",
+             "errors": [
+                 {"keyword": "maxLength", "instanceLocation": "/tags/0",
+                  "error": "longer than 2", "value": "okk"},
+                 {"keyword": "maxLength", "instanceLocation": "/tags/2",
+                  "error": "longer than 2", "value": "bcd"},
+             ]},
+            {"valid": False, "evaluationPath": "/required",
+             "errors": [
+                 {"keyword": "required", "instanceLocation": "",
+                  "error": "missing required property 'name'",
+                  "value": "name"},
+             ]},
+        ],
+    }
+    det2 = {"valid": True, "instanceLocation": "", "errors": []}
+    hier2 = {"valid": True, "evaluationPath": "", "errors": []}
+
+    def h(tree) -> str:
+        blob = json.dumps(tree, sort_keys=True, separators=(",", ":"))
+        return hashlib.md5(blob.encode()).hexdigest()
+
+    rows = ", ".join(
+        f"(CAST({doc} AS BIGINT), '{fmt}', '{h(tree)}')"
+        for doc, fmt, tree in [
+            (1, "detailed", det1), (1, "hierarchical", hier1),
+            (2, "detailed", det2), (2, "hierarchical", hier2),
+        ]
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(doc_id, fmt, tree_md5)"
 
 
 def _emb_near_dup_lsh_oracle(
@@ -527,14 +651,10 @@ def _conformance_oracle() -> str:
     """Expected verdicts as a VALUES table: the oracle side never runs
     the engine, so a hash match means the engine agrees with the
     hand-authored 2020-12/2019-09 expectations on every corpus case."""
-    from jschon_spark.conformance_corpus import (
-        CASES, DRAFT_NEXT_CASES, DYNAMIC_2019_CASES, LEGACY_2019_CASES,
-    )
+    from jschon_spark.conformance_corpus import all_cases
     from jschon_spark.operators.conformance import expected_values_sql
 
-    return expected_values_sql(
-        CASES + LEGACY_2019_CASES + DYNAMIC_2019_CASES + DRAFT_NEXT_CASES
-    )
+    return expected_values_sql(all_cases())
 
 
 def _format_conformance_oracle() -> str:

@@ -43,7 +43,10 @@ def main() -> None:
     from jschon_spark.sources.webpages import generate_webpages
 
     timings: dict[str, float] = {}
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # xxhash64 fast paths: perf-tracked here, value-verified via their
+    # md5 twins in the oracle gate
+    qs.update(getattr(entrymod, "extra_benches", dict)())
     # warm the JVM/codegen once with the cheapest query
     try:
         force(qs["stats_lineitem"](spark, sf_dir))

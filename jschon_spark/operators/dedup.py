@@ -22,25 +22,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from jschon_spark.operators import _cachereg
+from jschon_spark.operators import _cachereg, _partitions
 
 from jschon_spark.operators.textqa import tokens
 
 
 def _spread(df: DataFrame) -> DataFrame:
     """Signature computation is CPU-bound; if the scan yielded fewer
-    partitions than cores (tiny files), fan out first. At scale the
-    input already has >= cores partitions and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        # .inputFiles() avoids materializing .rdd (forces RDD-path
-        # analysis, breaks on Spark Connect)
-        n_splits = len(df.inputFiles())
-    except Exception:  # non-file-backed plan
-        n_splits = 1
-    if n_splits < target:
-        return df.repartition(target)
-    return df
+    splits than cores (tiny files), fan out first. At scale the input
+    already has >= cores splits and this is a no-op — split count is
+    estimated from input BYTES, not file count, so one large splittable
+    file doesn't trigger a pointless full repartition."""
+    return _partitions.fan_out(df)
 
 
 def normalized(col: Column) -> Column:
@@ -106,15 +99,17 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs, Jaccard-verified.
 
     ``max_bucket_size`` drops HOT band buckets from candidate
     generation (see similarity.embedding_near_duplicates: a mega-
     cluster of near-identical texts makes the self-join quadratic in
-    the cluster size). Run exact dedup first so identical texts never
-    reach this pass.
+    the cluster size). The DEFAULT cap (1000) bounds any single bucket
+    to ~500k candidate pairs — safe at any corpus size; pass ``None``
+    only for exact-recall verification at test scale. Run exact dedup
+    first so identical texts never reach this pass.
 
     Output: id_a, id_b (id_a < id_b), jaccard:double — pairs with
     true n-gram Jaccard ≥ threshold that collided in ≥1 LSH band.
@@ -362,6 +357,7 @@ def with_simhash(
 def simhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     bits: int = 64, hash_fn=None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ max_hamming.
 
@@ -369,6 +365,10 @@ def simhash_near_duplicates(
     differing bits over 4 chunks), verified with bit_count(xor).
     Pass ``hash_fn=md5_hash60, bits=60`` for the engine-portable
     variant an external SQL oracle can replay.
+
+    ``max_bucket_size`` (default 1000) drops hot (chunk, value) buckets
+    from candidate generation — same quadratic-self-join guard as the
+    MinHash/embedding LSH paths; ``None`` disables (test scale only).
     """
     base = with_simhash(
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))),
@@ -400,6 +400,13 @@ def simhash_near_duplicates(
             )
         ).alias("c"),
     ).select("id", "sig", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    if max_bucket_size is not None:
+        sizes = chunked.groupBy("chunk", "val").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        chunked = chunked.join(
+            sizes.filter(F.col("__bn") <= max_bucket_size), ["chunk", "val"]
+        ).drop("__bn")
     l, r = chunked.alias("l"), chunked.alias("r")
     return (
         l.join(
@@ -423,21 +430,32 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over near-duplicate PAIRS: (id, cluster_id)
     with cluster_id = the smallest id reachable in the pair graph — the
     step that turns pairwise matches into dedup groups (keep one per
     cluster).
 
-    Min-label propagation: each round every node takes the minimum of
-    its own label and its neighbours' labels; converges in
-    graph-diameter rounds (near-dup clusters are shallow — dozens of
-    rounds bound even pathological chains, and the loop stops early on
-    a zero-change round). Each round is one shuffle join + one
-    map-side-combined groupBy on (id, label) pairs only; at 10^12 rows
-    the label relation is far smaller than the corpus (only ids that
-    appear in pairs participate).
+    Min-label propagation WITH POINTER DOUBLING: each round every node
+    takes the minimum of its own label, its neighbours' labels, and its
+    label's label (path shortcutting) — O(log diameter) rounds instead
+    of O(diameter), so ``max_iter=20`` bounds chains of ~2^20 hops
+    (boilerplate chains at crawl scale are the case that breaks plain
+    propagation). Each round is two shuffle joins + one map-side-
+    combined groupBy on (id, label) pairs only; at 10^12 rows the label
+    relation is far smaller than the corpus (only ids that appear in
+    pairs participate). The convergence test rides the same persisted
+    relation as the labels themselves (one action per round, no extra
+    join job).
+
+    If the loop exhausts ``max_iter`` with labels still changing the
+    result would be WRONG (partially propagated clusters), so by
+    default it raises; ``on_nonconverged="warn"`` downgrades to a
+    warning for callers that can tolerate over-segmented clusters.
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError("on_nonconverged must be 'raise' or 'warn'")
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -447,33 +465,69 @@ def duplicate_clusters(
     labels = (
         edges.select(F.col("a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        # localCheckpoint (not persist): each round references `labels`
+        # three times (neighbor join, step, parent lookup), so without
+        # lineage TRUNCATION the logical plan triples per round and
+        # plan analysis blows the JVM stack by ~round 8 — the standard
+        # iterative-graph pattern (GraphFrames does the same).
+        .localCheckpoint(eager=False)
     )
+    converged = False
     for it in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
+        stepped = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
+            F.col("id"),
+            F.col("label").alias("__old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: label <- label of my label (labels always
+        # point downward, so the parent relation is labels itself);
+        # combined with the neighbor step, the known-radius recurrence
+        # is d_{r+1} = 2*d_r + 1 -> O(log diameter) rounds
+        parents = labels.select(
+            F.col("id").alias("__pid"), F.col("label").alias("__plabel")
+        )
         new_labels = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            stepped.join(parents, stepped["label"] == parents["__pid"], "left")
             .select(
                 F.col("id"),
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                F.col("__old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__plabel"), F.col("label"))
+                ).alias("label"),
             )
-            .persist()
+            .withColumn("__changed", F.col("label") != F.col("__old"))
+            .drop("__old")
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        # ONE action per round: the agg materializes the lazy
+        # checkpoint AND answers the convergence question — no separate
+        # old-vs-new join job
+        changed = new_labels.agg(
+            F.max(F.col("__changed").cast("int")).alias("c")
+        ).first()["c"]
+        labels = new_labels.drop("__changed")
+        if not changed:
+            converged = True
             break
-    _cachereg.track("duplicate_clusters_labels", labels)
+    if not converged:
+        msg = (
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds; cluster_ids would be partially propagated (wrong). "
+            "Raise max_iter — pointer doubling needs only O(log diameter) "
+            "rounds, so this indicates an extremely deep pair graph."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
@@ -483,14 +537,23 @@ def dedup_representatives(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_losers: bool = False,
 ) -> DataFrame:
     """Drop every near-duplicate except the smallest id per cluster —
-    the standard keep-one policy over :func:`duplicate_clusters`."""
+    the standard keep-one policy over :func:`duplicate_clusters`.
+
+    The loser relation is every non-representative duplicate id: at
+    crawl scale with 30-50% dup rates that is billions of rows, so by
+    DEFAULT the anti-join strategy is left to Catalyst/AQE (shuffled
+    anti-join when losers are large, runtime broadcast when small).
+    Pass ``broadcast_losers=True`` only when the caller KNOWS the dup
+    population is tiny — mirrors ``referential.py``'s ``broadcast_dim``
+    opt-out in the opposite direction."""
     losers = (
         duplicate_clusters(pairs, id_a, id_b)
         .filter(F.col("id") != F.col("cluster_id"))
         .select(F.col("id").alias("__loser"))
     )
-    return docs.join(
-        F.broadcast(losers), docs[id_col] == F.col("__loser"), "left_anti"
-    )
+    if broadcast_losers:
+        losers = F.broadcast(losers)
+    return docs.join(losers, docs[id_col] == F.col("__loser"), "left_anti")

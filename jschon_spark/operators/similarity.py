@@ -401,16 +401,31 @@ def brute_force_pairs(
     )
 
 
+def auto_n_planes(
+    n_rows: int, target_bucket_size: int = 8, floor: int = 6, ceiling: int = 24
+) -> int:
+    """Plane count sized to the corpus: n_planes ≈ log2(n / target
+    bucket occupancy), clamped to [floor, ceiling]. 100k rows → 14
+    planes; 10^9 rows → 24 (the ceiling — beyond that recall, not
+    bucket occupancy, is the binding constraint and n_tables is the
+    knob)."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return floor
+    return min(ceiling, max(floor, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     n_tables: int = 8,
     min_cos: float = 0.95,
     seed: int = 42,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH + exact verify.
 
@@ -418,10 +433,12 @@ def embedding_near_duplicates(
     of ``n_planes`` planes each (table t uses seed+t): a pair is a
     candidate if it collides in ANY table — recall
     1-(1-p^planes)^tables with p = 1-θ/π, tuned by the two knobs.
-    SIZE THE PLANES TO THE CORPUS: candidate volume grows quadratically
-    with bucket occupancy n/2^planes, so pick
-    n_planes ≳ log2(n / target_bucket_size) (e.g. 100k vectors → ≥14
-    planes); the test-scale default (6) suits thousands of rows.
+    PLANES ARE SIZED TO THE CORPUS BY DEFAULT: candidate volume grows
+    quadratically with bucket occupancy n/2^planes, so when
+    ``n_planes`` is None it is derived as
+    :func:`auto_n_planes`(df.count()) ≈ log2(n / 8) (100k vectors → 14
+    planes) at the cost of one count() job; pass an explicit value to
+    skip the count or to pin recall for a verified configuration.
 
     Shuffle economics mirror minhash_near_duplicates: the table
     self-join moves only (id, table, bucket) — never the vectors; the
@@ -434,11 +451,15 @@ def embedding_near_duplicates(
     cluster alone yields ~18M candidate pairs per table (measured: OOM
     on a synthetic corpus with ~6k-fold repeats). Buckets above the cap
     are dropped from candidate generation (bounded recall loss,
-    standard LSH practice); run EXACT dedup first so identical payloads
-    never reach the near-dup pass.
+    standard LSH practice); the DEFAULT cap (1000) bounds any bucket to
+    ~500k candidate pairs — ``None`` disables (test scale only). Run
+    EXACT dedup first so identical payloads never reach the near-dup
+    pass.
 
     Output: id_a, id_b (id_a < id_b), cos:double with cos ≥ min_cos.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(df.select(id_col).count())
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     base = df.select(
         F.col(id_col).alias("id"),

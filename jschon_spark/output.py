@@ -69,13 +69,19 @@ def basic(validated: DataFrame, id_col: str, schema: Any = None) -> DataFrame:
     anns = collect_annotations(schema)
     if not anns:
         return errors
+    # annotation values are arbitrary JSON (bools, objects, arrays) —
+    # serialize with json.dumps so the row carries JSON text ("true",
+    # '{"a": 1}'), matching the reference's basic-output annotation
+    # payloads, not Python repr ("True", "{'a': 1}")
+    import json
+
     ann_lit = F.array(
         *[
             F.struct(
                 F.lit(a["keyword"]).alias("keyword"),
                 F.lit(a["keyword_path"]).alias("keywordLocation"),
                 F.lit("").alias("instanceLocation"),
-                F.lit(str(a["value"])).alias("error"),
+                F.lit(json.dumps(a["value"], sort_keys=True)).alias("error"),
             )
             for a in anns
         ]
@@ -176,28 +182,74 @@ ANNOTATION_KEYWORDS = (
     "contentEncoding",
 )
 
+# Every keyword the engine evaluates or resolves — anything else in a
+# schema is UNKNOWN and degrades to an annotation, as the reference's
+# metaschema keyword lookup does (unknown name -> annotation class,
+# SURVEY.md §2.4 "unknown-keyword degradation").
+KNOWN_SCHEMA_KEYWORDS = frozenset({
+    # core
+    "$schema", "$id", "$vocabulary", "$anchor", "$dynamicAnchor", "$ref",
+    "$dynamicRef", "$recursiveRef", "$recursiveAnchor", "$defs",
+    "definitions", "$comment",
+    # applicators
+    "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+    "dependentSchemas", "prefixItems", "items", "additionalItems",
+    "contains", "properties", "patternProperties", "additionalProperties",
+    "propertyNames", "unevaluatedItems", "unevaluatedProperties",
+    # validation
+    "type", "enum", "const", "multipleOf", "maximum", "exclusiveMaximum",
+    "minimum", "exclusiveMinimum", "maxLength", "minLength", "pattern",
+    "maxItems", "minItems", "uniqueItems", "maxContains", "minContains",
+    "maxProperties", "minProperties", "required", "dependentRequired",
+    # content
+    "contentSchema",
+})
+
+
+# where subschemas live, by keyword shape — recursion must be
+# location-aware so property NAMES are never mistaken for keywords and
+# enum/const VALUES are never mistaken for subschemas
+_NAME_MAP_KEYWORDS = frozenset({
+    "properties", "patternProperties", "dependentSchemas", "$defs",
+    "definitions",
+})
+_SCHEMA_VALUED_KEYWORDS = frozenset({
+    "items", "additionalItems", "contains", "not", "if", "then", "else",
+    "propertyNames", "additionalProperties", "unevaluatedItems",
+    "unevaluatedProperties", "contentSchema",
+})
+_SCHEMA_LIST_KEYWORDS = frozenset({
+    "allOf", "anyOf", "oneOf", "prefixItems",
+    "items", "additionalItems",  # 2019-09 tuple form
+})
+
 
 def collect_annotations(schema, kpath: str = "") -> list[dict]:
     """Static annotation table of a schema document: one row per
     (keyword_path, keyword, value). Annotations are schema constants
     (zero runtime cost, SURVEY.md §2.4); this surfaces them the way the
-    reference's verbose output does."""
+    reference's verbose output does. Keywords the engine doesn't know
+    degrade to annotations (reference: metaschema keyword lookup falls
+    back to an annotation class), carrying their raw JSON value."""
     out: list[dict] = []
     if not isinstance(schema, dict):
         return out
-    for kw in ANNOTATION_KEYWORDS:
-        if kw in schema:
-            out.append({"keyword_path": f"{kpath}/{kw}", "keyword": kw,
-                        "value": schema[kw]})
     for kw, val in schema.items():
-        if kw in ("enum", "const", "default", "examples"):
-            continue
-        if isinstance(val, dict):
+        if kw in ANNOTATION_KEYWORDS:
+            out.append({"keyword_path": f"{kpath}/{kw}", "keyword": kw,
+                        "value": val})
+        elif kw in _NAME_MAP_KEYWORDS and isinstance(val, dict):
+            for name, sub in val.items():
+                out.extend(collect_annotations(sub, f"{kpath}/{kw}/{name}"))
+        elif kw in _SCHEMA_VALUED_KEYWORDS and isinstance(val, dict):
             out.extend(collect_annotations(val, f"{kpath}/{kw}"))
-        elif isinstance(val, list):
+        elif kw in _SCHEMA_LIST_KEYWORDS and isinstance(val, list):
             for i, item in enumerate(val):
-                if isinstance(item, dict):
-                    out.extend(collect_annotations(item, f"{kpath}/{kw}/{i}"))
+                out.extend(collect_annotations(item, f"{kpath}/{kw}/{i}"))
+        elif kw not in KNOWN_SCHEMA_KEYWORDS:
+            # unknown keyword: its VALUE is an opaque annotation payload
+            out.append({"keyword_path": f"{kpath}/{kw}", "keyword": kw,
+                        "value": val})
     return out
 
 

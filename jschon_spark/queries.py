@@ -247,19 +247,13 @@ PROPS_SCHEMA = {
 
 def _fan_out(df: DataFrame) -> DataFrame:
     """Tiny single-file inputs arrive as one partition; CPU-bound
-    validation should use every core. No-op at scale (many splits).
+    validation should use every core. No-op at scale — split count is
+    estimated from input BYTES (see operators/_partitions.py), so one
+    large splittable file or a non-file plan no longer triggers a full
+    repartition shuffle."""
+    from jschon_spark.operators import _partitions
 
-    Uses ``inputFiles()`` rather than ``df.rdd.getNumPartitions()``:
-    touching ``.rdd`` forces plan analysis through the RDD path and
-    breaks on Spark Connect."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_splits = len(df.inputFiles())
-    except Exception:  # non-file-backed plan
-        n_splits = 1
-    if n_splits < target:
-        return df.repartition(target)
-    return df
+    return _partitions.fan_out(df)
 
 
 def props_json_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,13 +309,10 @@ def keyword_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts against the hand-authored expectations. ``sf_dir`` is
     unused — the corpus is the fixture (mirrors the reference's
     JSON-Schema-Test-Suite run, /root/reference/tests/test_suite.py)."""
-    from jschon_spark.conformance_corpus import (
-        CASES, DRAFT_NEXT_CASES, DYNAMIC_2019_CASES, LEGACY_2019_CASES,
-    )
+    from jschon_spark.conformance_corpus import all_cases
     from jschon_spark.operators.conformance import conformance_verdicts
 
-    cases = CASES + LEGACY_2019_CASES + DYNAMIC_2019_CASES + DRAFT_NEXT_CASES
-    return conformance_verdicts(spark, cases)
+    return conformance_verdicts(spark, all_cases())
 
 
 def format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,3 +370,140 @@ def minhash_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", shingle_n=3, num_hashes=16, bands=4, threshold=0.5
     )
     return dedup.duplicate_clusters(pairs).select("id", "cluster_id")
+
+
+# DOC_SCHEMA enriched with every annotation shape the reference's basic
+# output carries (output.py:46-70, annotation.py:19-73): string, object
+# default, examples array, contentMediaType, and an UNKNOWN keyword
+# (degrades to an annotation, reference metaschema keyword lookup).
+ANNOTATED_DOC_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://example.org/doc-schema-annotated",
+    "type": "object",
+    "title": "Synthetic web document",
+    "x-pipeline-stage": {"name": "ingest", "order": 1},
+    "required": ["doc_id", "text", "lang"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "lang": {"enum": ["en", "de", "fr", "es"], "examples": ["en", "de"]},
+        "n_chars": {"type": "integer", "maximum": 600, "default": 0},
+        "text": {
+            "type": "string", "minLength": 1,
+            "description": "extracted page text",
+            "contentMediaType": "text/plain",
+        },
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+    },
+}
+
+
+def annotations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 behind the oracle gate: basic-format ANNOTATION rows for
+    every VALID document — title / description / default / examples /
+    contentMediaType plus an unknown keyword, each carrying its JSON
+    value (json.dumps, so `true` / `{"a": 1}`, never Python repr).
+    Mirrors the reference's basic output annotations array
+    (/root/reference/jschon/output.py:46-70)."""
+    from jschon_spark.output import basic, collect_annotations
+
+    docs = load(spark, sf_dir, "documents")
+    eng = ConstraintEngine()
+    out = eng.compile(ANNOTATED_DOC_SCHEMA).apply_typed(docs, DOC_COLS)
+    rows = basic(out, "doc_id", schema=ANNOTATED_DOC_SCHEMA)
+    ann_paths = [a["keyword_path"]
+                 for a in collect_annotations(ANNOTATED_DOC_SCHEMA)]
+    return rows.filter(F.col("keywordLocation").isin(ann_paths)).select(
+        "doc_id", "keyword",
+        F.col("keywordLocation").alias("keyword_path"),
+        F.col("error").alias("annotation_json"),
+    )
+
+
+def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume behind the oracle gate: the full checkpointed
+    corpus pass runs TWICE over a 3-day table (documents mapped onto
+    the north-rule page shape, day = doc_id % 3); between runs, day 2's
+    snapshot id changes. The emitted manifest table proves run 2
+    re-validated exactly that day and skipped the other two, with
+    per-day lineage (snapshot_id) and metrics (n_docs, n_failed)
+    surviving in the manifests."""
+    import tempfile
+
+    from jschon_spark import pipeline
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    pages = docs.select(
+        F.concat(F.lit("https://example.org/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-0"),
+                     # pmod: negative doc_ids exist in the fixture and
+                     # plain % keeps the dividend's sign
+                     (F.pmod(F.col("doc_id"), 3) + 1).cast("string"))
+        ).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    root = tempfile.mkdtemp(prefix="jschon_spark_ckpt_")
+    first = pipeline.validate_corpus_checkpointed(
+        spark, pages, root, {d: "snap-1" for d in days}
+    )
+    snaps2 = {d: ("snap-2b" if d == "2024-01-02" else "snap-1") for d in days}
+    second = pipeline.validate_corpus_checkpointed(spark, pages, root, snaps2)
+
+    from jschon_spark.plans.manifests import ManifestStore
+
+    store = ManifestStore(root)
+    rows = []
+    for d in days:
+        m = store.read(d)
+        rows.append((
+            d,
+            d in first,                      # ran in run 1
+            d in second,                     # re-ran in run 2 (not skipped)
+            m["snapshot_id"],
+            int(m["metrics"]["n_docs"]),
+            int(m["metrics"]["n_failed"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "day string, ran_first boolean, reran boolean, snapshot_id string, "
+        "n_docs bigint, n_failed bigint",
+    )
+
+
+def detailed_output_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive detailed + hierarchical output behind the oracle gate:
+    a fixed 2-doc fixture is validated, both per-document trees are
+    rendered, canonically serialized (sorted keys, compact separators)
+    and md5-hashed; the DuckDB oracle hashes HAND-AUTHORED JSON
+    mirroring the reference's recursive formats
+    (/root/reference/jschon/output.py:73-165). ``sf_dir`` is unused —
+    the fixture IS the test, like keyword_conformance."""
+    import hashlib
+    import json as _json
+
+    from jschon_spark.output import create_output
+
+    schema = {
+        "type": "object",
+        "required": ["name"],
+        "properties": {
+            "name": {"type": "string"},
+            "tags": {"items": {"maxLength": 2}},
+        },
+    }
+    df = spark.createDataFrame(
+        [(1, None, ["okk", "a", "bcd"]), (2, "ok", ["a"])],
+        "id long, name string, tags array<string>",
+    )
+    eng = ConstraintEngine()
+    validated = eng.compile(schema).apply_typed(df, ["name", "tags"])
+    rows = []
+    for doc_id in (1, 2):
+        for fmt in ("detailed", "hierarchical"):
+            tree = create_output(validated, fmt, "id", doc_id=doc_id)
+            blob = _json.dumps(tree, sort_keys=True, separators=(",", ":"))
+            rows.append((doc_id, fmt, hashlib.md5(blob.encode()).hexdigest()))
+    return spark.createDataFrame(rows, "doc_id long, fmt string, tree_md5 string")

@@ -244,6 +244,16 @@ class SchemaCatalog:
         for key, val in node.items():
             if key in ("enum", "const", "default", "examples"):
                 continue
+            if key in (
+                "properties", "patternProperties", "dependentSchemas",
+                "$defs", "definitions",
+            ) and isinstance(val, dict):
+                # name->schema maps: member NAMES are data, so the skip
+                # list above must not apply to them (a $defs entry named
+                # "default" is a schema and may carry anchors)
+                for sub in val.values():
+                    self._walk_register(sub, base)
+                continue
             if isinstance(val, dict):
                 self._walk_register(val, base)
             elif isinstance(val, list):

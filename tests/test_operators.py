@@ -406,3 +406,89 @@ def test_cosine_zero_vector_is_null_not_error(spark):
         df, dim=2, n_planes=2, n_tables=2, min_cos=0.5
     ).collect()
     assert {(p.id_a, p.id_b) for p in near} <= {(1, 2)}
+
+
+def test_duplicate_clusters_deep_chain_pointer_doubling(spark):
+    """A 120-hop chain: plain min-label propagation needs ~119 rounds;
+    pointer doubling covers distance 2^r - 1 after r rounds, so
+    max_iter=10 must fully converge (7 rounds + 1 no-change round)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long"
+    )
+    got = {(r.id, r.cluster_id)
+           for r in dedup.duplicate_clusters(pairs, max_iter=10).collect()}
+    assert got == {(i, 0) for i in range(120)}
+
+
+def test_duplicate_clusters_nonconvergence_raises_or_warns(spark):
+    """Exhausting max_iter with labels still moving means partially
+    propagated (wrong) cluster_ids — must not be returned silently."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iter=1)
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        out = dedup.duplicate_clusters(pairs, max_iter=1, on_nonconverged="warn")
+    assert out.count() == 31  # over-segmented but present
+
+
+def test_auto_n_planes_sizing():
+    from jschon_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(100) == 6            # floor at test scale
+    assert auto_n_planes(100_000) == 14       # docstring's 100k example
+    assert auto_n_planes(10**9) == 24         # ceiling: n_tables takes over
+    assert auto_n_planes(0) == 6
+
+
+def test_lsh_paths_have_scale_safe_defaults():
+    """VERDICT r2 #3: a caller at scale must get safe knobs without
+    reading docstrings — hot-bucket caps ON by default, planes derived
+    from the corpus when unspecified."""
+    import inspect
+
+    assert inspect.signature(dedup.minhash_near_duplicates
+                             ).parameters["max_bucket_size"].default == 1000
+    assert inspect.signature(dedup.simhash_near_duplicates
+                             ).parameters["max_bucket_size"].default == 1000
+    sig = inspect.signature(similarity.embedding_near_duplicates)
+    assert sig.parameters["max_bucket_size"].default == 1000
+    assert sig.parameters["n_planes"].default is None
+
+
+def test_embedding_near_dup_auto_sizes_planes(spark):
+    """No manual knobs: planes derive from df.count() and planted
+    near-identical pairs are still found (recall via 8 OR-tables)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(400, 16).astype("float32")
+    rows = []
+    for i in range(400):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1, [float(x) + 1e-3 for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_duplicates(
+        df, dim=16, min_cos=0.999
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    planted = {(2 * i, 2 * i + 1) for i in range(400)}
+    assert planted <= got
+
+
+def test_simhash_hot_chunk_cap(spark):
+    """max_bucket_size drops hot (chunk, value) buckets from SimHash
+    candidate generation; small groups survive."""
+    rows = [(i, "identical boilerplate text repeated everywhere") for i in range(20)]
+    rows += [(100, "a genuinely unique document about spark physical plans"),
+             (101, "a genuinely unique document about spark physical plans")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    capped = dedup.simhash_near_duplicates(
+        df, "id", "text", max_hamming=6, max_bucket_size=5
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in capped}
+    assert not any(a < 50 and b < 50 for a, b in got)   # hot cluster dropped
+    assert (100, 101) in got                            # small pair kept

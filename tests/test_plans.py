@@ -209,3 +209,58 @@ def test_ivf_seeded_broadcasts_probes(spark, tmp_path):
     # (tiny candidate set), never a corpus-wide vector shuffle
     segs = plan.split("Exchange hashpartitioning")[1:]
     assert all("query_id" in s[:120] for s in segs), plan
+
+
+def test_dedup_representatives_anti_join_not_forced_broadcast(spark):
+    """VERDICT r2 #1: the loser relation is every non-representative dup
+    id (billions at crawl scale) — it must NOT carry a broadcast hint.
+    With auto-broadcast disabled, a forced hint would still produce a
+    BroadcastHashJoin; the default must fall back to a shuffled anti-
+    join, and the explicit opt-in must still broadcast."""
+    from jschon_spark.operators import dedup
+
+    docs = spark.range(1000).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup.dedup_representatives(docs, pairs, "doc_id")
+        plan = plan_of(out)
+        assert "LeftAnti" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        forced = dedup.dedup_representatives(
+            docs, pairs, "doc_id", broadcast_losers=True
+        )
+        assert "BroadcastHashJoin" in plan_of(forced)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_fan_out_estimates_splits_from_bytes(spark, tmp_path):
+    """One LARGE splittable file must not read as '1 partition' and
+    trigger a pointless full repartition (ADVICE r2): split count is
+    total bytes / maxPartitionBytes."""
+    from jschon_spark.operators import _partitions
+
+    assert _partitions._parse_bytes("134217728b") == 134217728
+    assert _partitions._parse_bytes("128m") == 128 * 1024**2
+    assert _partitions._parse_bytes("1g") == 1024**3
+
+    path = str(tmp_path / "one_big_file")
+    spark.range(200_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS pad"
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        est = _partitions.estimated_scan_splits(df)
+        assert est is not None and est >= 8, est
+        # >= cores worth of splits -> fan_out is a no-op (same plan object)
+        assert _partitions.fan_out(df) is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # non-file plan: unknown split count -> never repartition
+    rng = spark.range(10)
+    assert _partitions.fan_out(rng) is rng
