@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotations_docs": Q.annotations_docs,
         "detailed_output_docs": Q.detailed_output_docs,
         "checkpoint_resume": Q.checkpoint_resume,
+        # dynamic-JSON ARRAY keywords on the variant path (round 3)
+        "props_array_verdicts": Q.props_array_verdicts,
     }
 
 
@@ -479,6 +481,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_PASSED}
         """,
         "detailed_output_docs": _detailed_output_oracle(),
+        # vals = [doc_id, n_chars]: items (integer >= 0) over both
+        # elements; contains (>= 100) with minContains 0 / maxContains 1
+        "props_array_verdicts": """
+            SELECT doc_id,
+                   (doc_id IS NOT NULL AND doc_id >= 0
+                    AND n_chars IS NOT NULL AND n_chars >= 0)
+                   AND ((CASE WHEN doc_id >= 100 THEN 1 ELSE 0 END)
+                        + (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) <= 1)
+                   AS passed
+            FROM documents
+        """,
         # checkpoint/resume: day b = pmod(doc_id, 3); run 1 covers all
         # three days, run 2 re-runs ONLY day 2 (its snapshot changed);
         # n_docs / n_failed replay the PAGE_SCHEMA assertions on the

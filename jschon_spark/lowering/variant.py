@@ -13,13 +13,14 @@ pure Column algebra — no Python even for schemaless documents:
   * ``json_object_keys(doc)``   — key-set keywords (required count,
     additionalProperties, propertyNames, min/maxProperties)
 
-Coverage: object schemas over scalar and NESTED-OBJECT properties
-(nested levels re-serialize their variant with ``to_json`` for the
-key-set keywords — still pure Column algebra) plus scalar root
-schemas, with the same keyword set the typed lowering supports at the
-leaves. Arrays, patternProperties (dynamic paths), compound enum/const
-and unevaluated* raise CannotLower → the Arrow batch evaluator takes
-over. Violations match the batch evaluator's
+Coverage: object schemas over scalar, NESTED-OBJECT and (round 3)
+ARRAY properties — nested object levels re-serialize their variant
+with ``to_json`` for the key-set keywords, and arrays extract to
+``array<variant>`` so size/element/contains keywords lower onto
+higher-order functions — still pure Column algebra end to end.
+patternProperties (dynamic paths), 2019-09 tuple items, compound
+enum/const and unevaluated* raise CannotLower → the Arrow batch
+evaluator takes over. Violations match the batch evaluator's
 (keyword, instance_path, keyword_path) conventions.
 
 Number comparisons run in double; integers beyond 2^53 may lose
@@ -104,6 +105,8 @@ class VariantLowerer:
         unsupported = set(schema) - _SCALAR_KEYWORDS - {
             "required", "dependentRequired", "maxProperties", "minProperties",
             "properties", "additionalProperties", "propertyNames",
+            "maxItems", "minItems", "prefixItems", "items",
+            "contains", "maxContains", "minContains",
             "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
             "$defs", "$id", "$schema", "$ref",
         }
@@ -353,6 +356,101 @@ class VariantLowerer:
                               F.flatten(F.transform(keys, per_name))
                               ).otherwise(_EMPTY_ARR()).cast(VIOLATION_DDL)
                 add(F.coalesce(pred, F.lit(False)), viol)
+
+        # ---- array keywords (variant -> array<variant>, round 3) --------
+        # try_variant_get(v, "$", "array<variant>") yields a real Spark
+        # array of per-element variants (NULL when not an array), so
+        # size / element / quantifier keywords lower onto higher-order
+        # functions — dynamic arrays no longer fall back to the Arrow
+        # batch path. JSON-null elements are VOID-tagged variants, NOT
+        # SQL NULLs, so F.get() returning NULL means out-of-bounds only.
+        arr_kws = {"maxItems", "minItems", "prefixItems", "items",
+                   "contains", "maxContains", "minContains"}
+        if arr_kws & set(schema):
+            if isinstance(schema.get("items"), list):
+                raise CannotLower("2019-09 tuple-form items -> batch")
+            arr = F.try_variant_get(val, "$", "array<variant>")
+            n = F.size(arr)
+
+            if "maxItems" in schema:
+                pred = F.when(is_arr, n <= schema["maxItems"]).otherwise(F.lit(True))
+                add(*_check(pred, "maxItems", ipath, kpath, n.cast("string"),
+                            f"more than {schema['maxItems']} items"))
+            if "minItems" in schema:
+                pred = F.when(is_arr, n >= schema["minItems"]).otherwise(F.lit(True))
+                add(*_check(pred, "minItems", ipath, kpath, n.cast("string"),
+                            f"fewer than {schema['minItems']} items"))
+
+            n_prefix = 0
+            if "prefixItems" in schema:
+                n_prefix = len(schema["prefixItems"])
+                for j, psub in enumerate(schema["prefixItems"]):
+                    cv, cw = self._lower_value(
+                        psub, F.get(arr, j), None,
+                        F.concat(ipath, F.lit(f"/{j}")),
+                        f"{kpath}/prefixItems/{j}", base_uri,
+                    )
+                    applies = is_arr & (n > j)
+                    add(F.when(applies, cv).otherwise(F.lit(True)),
+                        F.when(applies, cw).otherwise(_EMPTY_ARR()))
+
+            if "items" in schema:
+                isub = schema["items"]
+                off = n_prefix
+
+                def _item_struct(e: Column, i: Column) -> Column:
+                    cv, cw = self._lower_value(
+                        isub, e, None,
+                        F.concat(ipath, F.lit("/"), (i + off).cast("string")),
+                        f"{kpath}/items", base_uri,
+                    )
+                    return F.struct(
+                        F.coalesce(cv, F.lit(False)).alias("v"),
+                        cw.cast(VIOLATION_DDL).alias("w"),
+                    )
+
+                rest = F.slice(arr, off + 1, F.greatest(n - off, F.lit(0)))
+                per = F.transform(rest, _item_struct)
+                allok = F.forall(per, lambda s: s["v"])
+                pred = F.when(is_arr, F.coalesce(allok, F.lit(True))).otherwise(F.lit(True))
+                wcol = F.when(
+                    is_arr & ~F.coalesce(allok, F.lit(True)),
+                    F.flatten(
+                        F.transform(F.filter(per, lambda s: ~s["v"]), lambda s: s["w"])
+                    ),
+                ).otherwise(_EMPTY_ARR()).cast(VIOLATION_DDL)
+                add(F.coalesce(pred, F.lit(False)), wcol)
+
+            if "contains" in schema:
+                csub = schema["contains"]
+
+                def _match(e: Column) -> Column:
+                    cv, _ = self._lower_value(
+                        csub, e, None, ipath, f"{kpath}/contains", base_uri
+                    )
+                    return F.coalesce(cv, F.lit(False))
+
+                n_match = F.size(F.filter(arr, _match))
+                min_c = schema.get("minContains", 1)
+                # evaluator parity (evaluator.py contains block): a bare
+                # contains miss reports "contains"; explicit bounds
+                # report min/maxContains
+                pred0 = F.when(
+                    is_arr, (n_match > 0) | (F.lit(min_c) == 0)
+                ).otherwise(F.lit(True))
+                add(*_check(pred0, "contains", ipath, kpath, n_match.cast("string"),
+                            "no array items match the contains schema"))
+                if "maxContains" in schema:
+                    mx = schema["maxContains"]
+                    pred = F.when(is_arr, n_match <= mx).otherwise(F.lit(True))
+                    add(*_check(pred, "maxContains", ipath, kpath,
+                                n_match.cast("string"),
+                                f"more than {mx} matching items"))
+                if "minContains" in schema:
+                    pred = F.when(is_arr, n_match >= min_c).otherwise(F.lit(True))
+                    add(*_check(pred, "minContains", ipath, kpath,
+                                n_match.cast("string"),
+                                f"fewer than {min_c} matching items"))
 
         # ---- combinators -------------------------------------------------
         for kw in ("allOf",):

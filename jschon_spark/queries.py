@@ -507,3 +507,44 @@ def detailed_output_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             blob = _json.dumps(tree, sort_keys=True, separators=(",", ":"))
             rows.append((doc_id, fmt, hashlib.md5(blob.encode()).hexdigest()))
     return spark.createDataFrame(rows, "doc_id long, fmt string, tree_md5 string")
+
+
+# Array-applicator schema for the dynamic-JSON variant path (round 3:
+# arrays lower onto array<variant> — no Arrow fallback). vals is
+# [doc_id, n_chars], so every keyword fires on real data: items
+# (nulls / negatives fail), contains+maxContains (values >= 100).
+ARRAY_PROPS_SCHEMA = {
+    "$id": "https://example.org/array-props-schema",
+    "type": "object",
+    "required": ["vals"],
+    "properties": {
+        "vals": {
+            "type": "array",
+            "minItems": 2,
+            "items": {"type": "integer", "minimum": 0},
+            "contains": {"minimum": 100},
+            "minContains": 0,
+            "maxContains": 1,
+        }
+    },
+}
+
+
+def props_array_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-JSON validation of an ARRAY column on the variant path:
+    documents rendered as {"vals": [doc_id, n_chars]} and validated
+    with array keywords (items/minItems/contains/maxContains) — pure
+    Column algebra, zero Python in the plan (see
+    tests/test_plans.py::test_array_schema_plan_is_jvm_only)."""
+    docs = _fan_out(load(spark, sf_dir, "documents"))
+    j = docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.array(F.col("doc_id"), F.col("n_chars")).alias("vals")
+            )
+        ).alias("j"),
+    )
+    eng = ConstraintEngine()
+    out = eng.compile(ARRAY_PROPS_SCHEMA).apply_json(j, "j")
+    return out.select("doc_id", "passed")

@@ -264,3 +264,21 @@ def test_fan_out_estimates_splits_from_bytes(spark, tmp_path):
     # non-file plan: unknown split count -> never repartition
     rng = spark.range(10)
     assert _partitions.fan_out(rng) is rng
+
+
+def test_array_schema_plan_is_jvm_only(spark):
+    """Round 3: dynamic-JSON ARRAY keywords lower onto array<variant>
+    higher-order functions — the plan must contain no Python stage."""
+    from jschon_spark.engine import ConstraintEngine
+    from jschon_spark.queries import ARRAY_PROPS_SCHEMA
+
+    df = spark.createDataFrame(
+        [('{"vals": [1, 2]}',), ('{"vals": [1, "x"]}',), (None,)],
+        "j string",
+    )
+    out = ConstraintEngine().compile(ARRAY_PROPS_SCHEMA).apply_json(df, "j")
+    plan = plan_of(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    got = {r.j: r.passed for r in out.collect()}
+    assert got['{"vals": [1, 2]}'] is True
+    assert got['{"vals": [1, "x"]}'] is False

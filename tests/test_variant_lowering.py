@@ -25,6 +25,11 @@ DOCS = [
     '{"a": {"nested": 1, "other": 2, "third": 3}}', '{"a": {"longkeyname": 1}}',
     '{"a": {"nested": {"deep": "s"}}}', '{"a": {"nested": {"deep": 5}}}',
     '{"a": {"nested": {"notdeep": 1}}}', '{"a": 5}', '{"a": null}',
+    # round-3 array coverage
+    '[1, "x"]', '[]', '[1, 2, 3, 4]', '["a", "b"]', '[null]', '[0.5, 7]',
+    '[[1], [2, 3]]', '[{"k": 1}, {"k": -2}]',
+    '{"tags": [1, 2]}', '{"tags": []}', '{"tags": ["a", 2]}',
+    '{"tags": [10, 20, 30]}', '{"tags": "not-array"}', '{"tags": [null]}',
 ]
 
 SCHEMAS = [
@@ -60,6 +65,24 @@ SCHEMAS = [
     {"properties": {"a": {"properties": {"nested": {"properties": {
         "deep": {"type": "string"}}, "required": ["deep"]}}}}},
     {"properties": {"a": {"dependentRequired": {"nested": ["other"]}}}},
+    # round-3 dynamic arrays (array<variant> lowering)
+    {"type": "array", "items": {"type": "integer"}},
+    {"items": {"type": "integer", "minimum": 0}},
+    {"maxItems": 3, "minItems": 1},
+    {"prefixItems": [{"type": "integer"}, {"type": "string"}]},
+    {"prefixItems": [{"type": "number"}], "items": {"type": "string"}},
+    {"contains": {"type": "integer", "minimum": 2}},
+    {"contains": {"type": "integer"}, "minContains": 2, "maxContains": 3},
+    {"contains": {"type": "string"}, "minContains": 0, "maxContains": 1},
+    {"properties": {"tags": {"type": "array",
+                             "items": {"type": "integer", "minimum": 0},
+                             "maxItems": 3, "minItems": 1}},
+     "required": ["tags"]},
+    {"properties": {"tags": {"contains": {"minimum": 15},
+                             "prefixItems": [{"type": "integer"}]}}},
+    {"items": {"items": {"type": "integer"}, "minItems": 1}},
+    {"items": {"type": "object", "required": ["k"],
+               "properties": {"k": {"minimum": 0}}}},
 ]
 
 
@@ -107,9 +130,11 @@ def test_variant_plan_is_jvm_only(spark, docs_df):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
 
 
-def test_nested_schema_stays_variant_but_arrays_fall_back(spark, docs_df):
+def test_nested_schema_and_arrays_stay_variant(spark, docs_df):
     """Nested-object schemas lower onto variant since round 2
-    (to_json(variant) key sets); array applicators still fall back."""
+    (to_json(variant) key sets); round 3 adds dynamic ARRAYS
+    (array<variant> extraction) — only tuple items / unevaluated*
+    still fall back."""
     eng = ConstraintEngine()
     nested = {"properties": {"a": {"properties": {"b": {"type": "integer"}}}}}
     compiled = eng.compile(nested)
@@ -122,11 +147,17 @@ def test_nested_schema_stays_variant_but_arrays_fall_back(spark, docs_df):
 
     arrays = {"items": {"type": "integer"}}
     compiled2 = eng.compile(arrays)
-    with pytest.raises(CannotLower):
-        validate_json_column_variant(docs_df, "doc", compiled2.schema, compiled2.catalog)
-    out = compiled2.apply_json(docs_df, "doc")  # falls back silently
-    got2 = {r.doc: r.passed for r in out.collect()}
+    out_a = validate_json_column_variant(
+        docs_df, "doc", compiled2.schema, compiled2.catalog
+    )
+    got2 = {r.doc: r.passed for r in out_a.collect()}
     assert got2["[1, 2]"] is True and got2['"plain"'] is True
+    assert got2['[1, "x"]'] is False
+
+    tuple_items = {"items": [{"type": "integer"}]}  # 2019-09 form
+    compiled3 = eng.compile(tuple_items, validate_schema=False)
+    with pytest.raises(CannotLower):
+        validate_json_column_variant(docs_df, "doc", compiled3.schema, compiled3.catalog)
 
 
 def test_variant_random_schema_sweep(spark, docs_df):
