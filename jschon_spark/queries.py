@@ -222,10 +222,14 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable-hash SimHash — the DuckDB oracle replays the signature,
-    chunk-candidate and hamming-verify pipeline bit for bit."""
+    chunk-candidate and hamming-verify pipeline bit for bit. The oracle
+    models the UNCAPPED pipeline, so the verifiable twin pins
+    max_bucket_size=None (test scale); the xxhash64 scale path keeps
+    the default hot-chunk cap."""
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash_near_duplicates(
-        docs, "doc_id", "text", max_hamming=6, bits=60, hash_fn=dedup.md5_hash60
+        docs, "doc_id", "text", max_hamming=6, bits=60, hash_fn=dedup.md5_hash60,
+        max_bucket_size=None,
     ).select("id_a", "id_b", "hamming")
 
 
