@@ -503,13 +503,18 @@ def detailed_output_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id long, name string, tags array<string>",
     )
     eng = ConstraintEngine()
-    validated = eng.compile(schema).apply_typed(df, ["name", "tags"])
+    # one Spark job: the per-document formatters below re-read this
+    # tiny materialized result four times driver-side (each
+    # create_output call filters for its doc) — cache so the 2-row
+    # validation runs once, not four times
+    validated = eng.compile(schema).apply_typed(df, ["name", "tags"]).cache()
     rows = []
     for doc_id in (1, 2):
         for fmt in ("detailed", "hierarchical"):
             tree = create_output(validated, fmt, "id", doc_id=doc_id)
             blob = _json.dumps(tree, sort_keys=True, separators=(",", ":"))
             rows.append((doc_id, fmt, hashlib.md5(blob.encode()).hexdigest()))
+    validated.unpersist()
     return spark.createDataFrame(rows, "doc_id long, fmt string, tree_md5 string")
 
 
