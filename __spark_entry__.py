@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": Q.checkpoint_resume,
         # dynamic-JSON ARRAY keywords on the variant path (round 3)
         "props_array_verdicts": Q.props_array_verdicts,
+        # quantile column stats + the streaming window rollup run in
+        # batch mode (round 3)
+        "stats_quantiles": Q.stats_quantiles,
+        "windowed_verdicts_events": Q.windowed_verdicts_events,
     }
 
 
@@ -481,6 +485,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_PASSED}
         """,
         "detailed_output_docs": _detailed_output_oracle(),
+        # exact interpolated quantiles: Spark percentile and DuckDB
+        # quantile_cont both use the (n-1)*p linear-interpolation rule
+        "stats_quantiles": " UNION ALL ".join(
+            f"""SELECT '{c}' AS col_name,
+                       unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS p,
+                       unnest(quantile_cont(CAST({c} AS DOUBLE),
+                                            [0.25, 0.5, 0.75, 0.95])) AS q
+                FROM lineitem"""
+            for c in ["l_quantity", "l_extendedprice", "l_discount"]
+        ),
+        # the streaming rollup replayed with time_bucket (epoch-aligned
+        # 1h tumbling windows); NULL verdicts (NULL props) count in
+        # n_docs but never in n_failed, matching when(~passed,1).otherwise(0)
+        "windowed_verdicts_events": """
+            WITH v AS (
+              SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                     (json_type(props, '$.k') IN ('UBIGINT','BIGINT')
+                      AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50
+                      AND len(list_filter(json_keys(props), k -> k <> 'k')) = 0) AS ok
+              FROM events
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 1 HOUR AS window_end,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(CASE WHEN ok IS FALSE THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_failed,
+                   (coalesce(sum(CASE WHEN ok IS FALSE THEN 1 ELSE 0 END), 0) = 0) AS passed
+            FROM v GROUP BY 1
+        """,
         # vals = [doc_id, n_chars]: items (integer >= 0) over both
         # elements; contains (>= 100) with minContains 0 / maxContains 1
         "props_array_verdicts": """

@@ -97,3 +97,45 @@ def numeric_stats(df: DataFrame, columns: list[str]) -> DataFrame:
         for c in columns
     ]
     return wide.select(F.explode(F.array(*pairs)).alias("s")).select("s.*")
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Interpolated quantiles for many columns in ONE scan.
+
+    Output: col_name:string, p:double, q:double (long format).
+
+    ``exact=True`` uses Spark's exact ``percentile`` (sorts each
+    column's values — test/oracle scale only: memory is O(values)).
+    The SCALE path is ``exact=False`` → ``approx_percentile``
+    (GK-sketch, bounded memory, one-pass mergeable partials — the same
+    shape as the HLL distinct counts above); same call, same output
+    schema, rank error ≤ 1/accuracy.
+    """
+    plist = [float(p) for p in probs]
+    fn = F.percentile if exact else (
+        lambda c, ps: F.approx_percentile(c, ps, F.lit(accuracy))
+    )
+    aggs = [
+        fn(F.col(c).cast("double"), F.lit(plist)).alias(f"q__{c}")
+        for c in columns
+    ]
+    wide = df.agg(*aggs)
+    pairs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.lit(plist).alias("ps"),
+            F.col(f"q__{c}").alias("qs"),
+        )
+        for c in columns
+    ]
+    return (
+        wide.select(F.explode(F.array(*pairs)).alias("s"))
+        .select("s.col_name", F.explode(F.arrays_zip("s.ps", "s.qs")).alias("z"))
+        .select("col_name", F.col("z.ps").alias("p"), F.col("z.qs").alias("q"))
+    )

@@ -557,3 +557,28 @@ def props_array_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = ConstraintEngine()
     out = eng.compile(ARRAY_PROPS_SCHEMA).apply_json(j, "j")
     return out.select("doc_id", "passed")
+
+
+def stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (p25/50/75/95) for three lineitem
+    measures in one scan — the oracle-parity twin of the scale path's
+    approx_percentile sketch (same call, exact=False)."""
+    li = load(spark, sf_dir, "lineitem")
+    return stats.numeric_quantiles(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        probs=(0.25, 0.5, 0.75, 0.95), exact=True,
+    )
+
+
+def windowed_verdicts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING rollup (streaming/validate.windowed_verdicts) run
+    in batch mode over events with props-schema verdicts: 1-hour
+    epoch-aligned tumbling windows of (n_docs, n_failed, passed) — the
+    DuckDB oracle replays it with time_bucket, value-verifying the
+    exact aggregation the streaming wrapper ships."""
+    from jschon_spark.streaming.validate import windowed_verdicts
+
+    ev = _fan_out(load(spark, sf_dir, "events"))
+    eng = ConstraintEngine()
+    validated = eng.compile(PROPS_SCHEMA).apply_json(ev, "props")
+    return windowed_verdicts(validated, ts_col="ts", window="1 hour")

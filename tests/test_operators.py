@@ -492,3 +492,18 @@ def test_simhash_hot_chunk_cap(spark):
     got = {(p.id_a, p.id_b) for p in capped}
     assert not any(a < 50 and b < 50 for a, b in got)   # hot cluster dropped
     assert (100, 101) in got                            # small pair kept
+
+
+def test_numeric_quantiles_exact_and_approx(spark):
+    """Exact path interpolates like quantile_cont; approx path (the
+    100 TB shape — mergeable GK sketch) lands within rank error."""
+    from jschon_spark.operators import stats
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    got = {(r.col_name, r.p): r.q
+           for r in stats.numeric_quantiles(df, ["x"]).collect()}
+    assert got[("x", 0.5)] == 50.0 and got[("x", 0.25)] == 25.0
+    assert got[("x", 0.95)] == 95.0
+    appr = {(r.col_name, r.p): r.q
+            for r in stats.numeric_quantiles(df, ["x"], exact=False).collect()}
+    assert abs(appr[("x", 0.5)] - 50.0) <= 1.0
