@@ -43,6 +43,16 @@ from jschon_spark.schema.catalog import (
 # JSON type model
 # --------------------------------------------------------------------------
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _urljoin_base(base_uri: str, sid: str) -> str:
+    from urllib.parse import urljoin
+
+    return urljoin(base_uri, sid).split("#", 1)[0]
+
+
 def json_type(value: Any) -> str:
     if value is None:
         return "null"
@@ -271,12 +281,11 @@ class Evaluator:
             raise TypeError(f"schema must be bool or object at {kpath!r}")
 
         # entering a schema object with $id = entering a resource:
-        # push onto the dynamic scope
+        # push onto the dynamic scope. urljoin is memoized — it costs
+        # ~25% of a violation walk when called per visit (profiled),
+        # and (base, $id) pairs are a tiny fixed set per schema.
         if isinstance(schema.get("$id"), str):
-            from urllib.parse import urljoin
-
-            new_base = urljoin(base_uri, schema["$id"]).split("#", 1)[0]
-            base_uri = new_base
+            base_uri = _urljoin_base(base_uri, schema["$id"])
         if not dynamic_scope or dynamic_scope[-1] != base_uri:
             dynamic_scope = dynamic_scope + [base_uri]
         if isinstance(schema.get("$schema"), str):

@@ -15,7 +15,13 @@ import json
 import os
 import posixpath
 from typing import Any
+from functools import lru_cache
 from urllib.parse import urljoin, urlparse, unquote
+
+
+@lru_cache(maxsize=8192)
+def _urljoin_cached(base: str, ref: str) -> str:
+    return urljoin(base, ref)
 
 Schema = Any  # dict | bool
 
@@ -268,7 +274,10 @@ class SchemaCatalog:
             # fragment-only ref: same resource, independent of scheme
             target = base_uri.split("#", 1)[0] + ref
         else:
-            target = urljoin(base_uri, ref) if base_uri else ref
+            # memoized: $ref-heavy evaluation resolves the same (base,
+            # ref) pairs once per schema node VISIT — urljoin is pure
+            # string work and profiling showed it dominating ref walks
+            target = _urljoin_cached(base_uri, ref) if base_uri else ref
         base, frag = _strip_fragment(target)
         root = self._resources.get(base)
         if root is None:
