@@ -72,9 +72,12 @@ def json_type(value: Any) -> str:
 def matches_type(value: Any, t: str) -> bool:
     jt = json_type(value)
     if t == "integer":
+        # isinstance check, not float(value) == int(value): ints above
+        # ~1e308 overflow float() (a 400-digit int must still be an
+        # "integer"), and bool is already excluded by json_type
         if jt != "number":
             return False
-        return float(value) == int(value)
+        return isinstance(value, int) or value.is_integer()
     return jt == t
 
 
@@ -376,9 +379,25 @@ class Evaluator:
         # ---- validation keywords (leaf predicates) ---------------------
         if "type" in schema:
             types = schema["type"]
+            # fast path reusing the jt computed above — json_type per
+            # candidate type was a measurable slice of the walk
             if isinstance(types, str):
-                types = [types]
-            if not any(matches_type(instance, t) for t in types):
+                ok = jt == types or (
+                    types == "integer"
+                    and jt == "number"
+                    and (isinstance(instance, int) or instance.is_integer())
+                )
+            else:
+                ok = any(
+                    jt == t
+                    or (
+                        t == "integer"
+                        and jt == "number"
+                        and (isinstance(instance, int) or instance.is_integer())
+                    )
+                    for t in types
+                )
+            if not ok:
                 err("type", f"instance type {jt} does not match {types}")
 
         if "enum" in schema:
