@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch mode (round 3)
         "stats_quantiles": Q.stats_quantiles,
         "windowed_verdicts_events": Q.windowed_verdicts_events,
+        # pinned html→text extractor through the Arrow UDF (round 3)
+        "extract_text_goldens": Q.extract_text_goldens,
     }
 
 
@@ -485,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_PASSED}
         """,
         "detailed_output_docs": _detailed_output_oracle(),
+        "extract_text_goldens": _extract_goldens_oracle(),
         # exact interpolated quantiles: Spark percentile and DuckDB
         # quantile_cont both use the (n-1)*p linear-interpolation rule
         "stats_quantiles": " UNION ALL ".join(
@@ -547,6 +550,27 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
     }
+
+
+def _extract_goldens_oracle() -> str:
+    """Expected md5 per GOLDEN_CASES entry — computed from the SAME
+    single-source fixture list the Spark query feeds through the Arrow
+    UDF, so a drifting extractor (or a stale EXTRACTOR_VERSION pin)
+    hash-mismatches here."""
+    import hashlib
+
+    from jschon_spark.sources.extract import GOLDEN_CASES
+
+    values = ",\n              ".join(
+        f"({i}, '{hashlib.md5(want.encode('utf-8')).hexdigest()}')"
+        for i, (_, want) in enumerate(GOLDEN_CASES)
+    )
+    return f"""
+        SELECT case_id, text_md5
+        FROM (VALUES
+              {values}
+        ) AS t(case_id, text_md5)
+    """
 
 
 def _detailed_output_oracle() -> str:

@@ -518,6 +518,27 @@ def detailed_output_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, fmt string, tree_md5 string")
 
 
+def extract_text_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gates the pinned html→text extractor's DISTRIBUTED path:
+    the GOLDEN_CASES fixtures (sources/extract.py) run through the
+    Arrow-batch UDF as a Spark job and each extracted text is md5'd
+    JVM-side; the DuckDB oracle carries md5s of the expected texts
+    computed from the same single-source fixture list (north-rule
+    byte-identity invariant; reference precedent for byte-exact
+    goldens: tests/test_examples.py:25-28). ``sf_dir`` unused — the
+    fixture IS the test, like keyword_conformance."""
+    from jschon_spark.sources.extract import GOLDEN_CASES, with_extracted_text
+
+    df = spark.createDataFrame(
+        [(i, html) for i, (html, _) in enumerate(GOLDEN_CASES)],
+        "case_id long, html binary",
+    )
+    return with_extracted_text(df).select(
+        "case_id",
+        F.md5(F.col("text_extracted").cast("binary")).alias("text_md5"),
+    )
+
+
 # Array-applicator schema for the dynamic-JSON variant path (round 3:
 # arrays lower onto array<variant> — no Arrow fallback). vals is
 # [doc_id, n_chars], so every keyword fires on real data: items

@@ -35,6 +35,26 @@ _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
 
 
+# Golden fixtures: html bytes -> exact expected text — the behavioral
+# contract of EXTRACTOR_VERSION (byte-exact precedent: the reference's
+# example outputs, /root/reference/tests/test_examples.py:25-28).
+# Single source for the pytest goldens, the extract_text_goldens oracle
+# query, AND its DuckDB expectation (cases keyed by position here; any
+# change must bump EXTRACTOR_VERSION).
+GOLDEN_CASES: list[tuple[bytes, str]] = [
+    (b"<html><head><title>T</title></head><body><p>hello world</p></body></html>",
+     "hello world"),
+    (b"<html><body>a &amp; b &lt;c&gt;</body></html>", "a & b <c>"),
+    (b"<html><head><style>p{}</style></head><body>  spaced\n\nout  </body></html>",
+     "spaced out"),
+    (b"<html><body><script>var x = '<p>no</p>';</script>kept</body></html>", "kept"),
+    (b"", ""),
+    (b"plain text no tags", "plain text no tags"),
+    (b"<p>unclosed", "unclosed"),
+    (b"\xff\xfe invalid utf8 <b>x</b>", "�� invalid utf8 x"),
+]
+
+
 def extract_text_bytes(data: bytes | None) -> str | None:
     """The pinned extractor. bytes -> normalized text (None-safe)."""
     if data is None:

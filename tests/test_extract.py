@@ -9,26 +9,11 @@ from pyspark.sql import functions as F
 
 from jschon_spark.sources.extract import (
     EXTRACTOR_VERSION,
+    GOLDEN_CASES as GOLDENS,
     extract_text_bytes,
     with_extracted_text,
 )
 from jschon_spark.sources.webpages import generate_webpages
-
-# Golden fixtures: html bytes -> exact expected text. Any change to the
-# extractor that alters these must bump EXTRACTOR_VERSION (precedent:
-# byte-exact example outputs, /root/reference/tests/test_examples.py:25-28).
-GOLDENS = [
-    (b"<html><head><title>T</title></head><body><p>hello world</p></body></html>",
-     "hello world"),
-    (b"<html><body>a &amp; b &lt;c&gt;</body></html>", "a & b <c>"),
-    (b"<html><head><style>p{}</style></head><body>  spaced\n\nout  </body></html>",
-     "spaced out"),
-    (b"<html><body><script>var x = '<p>no</p>';</script>kept</body></html>", "kept"),
-    (b"", ""),
-    (b"plain text no tags", "plain text no tags"),
-    (b"<p>unclosed", "unclosed"),
-    (b"\xff\xfe invalid utf8 <b>x</b>", "�� invalid utf8 x"),
-]
 
 
 @pytest.mark.parametrize("html,want", GOLDENS, ids=range(len(GOLDENS)))
