@@ -282,3 +282,39 @@ def test_array_schema_plan_is_jvm_only(spark):
     got = {r.j: r.passed for r in out.collect()}
     assert got['{"vals": [1, 2]}'] is True
     assert got['{"vals": [1, "x"]}'] is False
+
+
+def test_quantiles_scale_path_single_scan_partial_agg(spark, pages_path):
+    """numeric_quantiles(exact=False) — the 100 TB path: ONE scan of
+    the input feeding a partial/final aggregate pair (the GK sketches
+    merge map-side), never a per-column rescan or a global sort."""
+    from jschon_spark.operators import stats
+
+    docs = spark.read.parquet(pages_path).select(
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    q = stats.numeric_quantiles(docs, ["n_chars", "n_tokens"], exact=False)
+    plan = plan_of(q, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Sort" not in plan, plan
+    # partial + final aggregate around one single-partition exchange
+    assert plan.count("Aggregate") >= 2, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_windowed_rollup_partial_aggregation(spark, pages_path):
+    """The streaming window rollup's batch plan: map-side combine
+    (two HashAggregates around one Exchange keyed by the window),
+    whole-stage codegen, no Python stage — per-window state is O(1)
+    in document volume."""
+    from jschon_spark.streaming.validate import windowed_verdicts
+
+    docs = spark.read.parquet(pages_path)
+    compiled = ConstraintEngine().compile(PAGE_SCHEMA)
+    validated = compiled.apply_typed(docs, PAGE_DOC_COLS)
+    out = windowed_verdicts(validated, ts_col="warc_ts", window="1 hour")
+    plan = plan_of(out, "simple")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
