@@ -105,6 +105,7 @@ class VariantLowerer:
         unsupported = set(schema) - _SCALAR_KEYWORDS - {
             "required", "dependentRequired", "maxProperties", "minProperties",
             "properties", "additionalProperties", "propertyNames",
+            "patternProperties", "dependentSchemas",
             "maxItems", "minItems", "prefixItems", "items",
             "contains", "maxContains", "minContains",
             "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
@@ -236,7 +237,7 @@ class VariantLowerer:
         # ---- object keywords (need the raw doc for the key set) --------
         obj_kws = {"required", "dependentRequired", "maxProperties",
                    "minProperties", "properties", "additionalProperties",
-                   "propertyNames"}
+                   "propertyNames", "patternProperties", "dependentSchemas"}
         if obj_kws & set(schema):
             # key set: the root has the raw JSON string; nested objects
             # re-serialize their variant (to_json(variant) is JVM-side),
@@ -289,13 +290,72 @@ class VariantLowerer:
                     applies = is_obj & prop_tag(name).isNotNull()
                     add(F.when(applies, cv).otherwise(F.lit(True)),
                         F.when(applies, cw).otherwise(_EMPTY_ARR()))
+            # patternProperties: only the BOOLEAN forms lower — a
+            # schema-valued pattern needs per-key dynamic variant access,
+            # which Spark 4's variant_get (constant path only) can't
+            # express; those go to batch. {pat: true} contributes pattern
+            # coverage for additionalProperties; {pat: false} forbids
+            # matching keys outright (evaluator keyword = the pattern,
+            # evaluator.py false-schema shape).
+            pattern_cover: list[str] = []
+            if "patternProperties" in schema:
+                for pat, sub in schema["patternProperties"].items():
+                    if re.search(r"\(\?P[<=!]|\\Z|\\A|\(\?<", pat):
+                        raise CannotLower("regex dialect risk -> batch")
+                    re.compile(pat)
+                    if sub is True:
+                        pattern_cover.append(pat)
+                    elif sub is False:
+                        pattern_cover.append(pat)
+
+                        # NB: bind the pattern via a closure factory —
+                        # a defaulted lambda param would read as the
+                        # 2-arg (element, index) HOF form
+                        def _matcher(p: str):
+                            return lambda k: k.rlike(p)
+
+                        def _esc0(k: Column) -> Column:
+                            return F.replace(
+                                F.replace(k, F.lit("~"), F.lit("~0")),
+                                F.lit("/"), F.lit("~1"),
+                            )
+
+                        def _false_viol(p: str):
+                            def build(k: Column) -> Column:
+                                return F.struct(
+                                    F.lit(p).alias("keyword"),
+                                    F.concat(ipath, F.lit("/"), _esc0(k)).alias("instance_path"),
+                                    F.lit(f"{kpath}/patternProperties/{p}").alias("keyword_path"),
+                                    F.substring(k, 1, 256).alias("value"),
+                                    F.lit("boolean schema false permits nothing").alias("error"),
+                                )
+                            return build
+
+                        bad = F.filter(keys, _matcher(pat))
+                        pred = F.when(is_obj, F.size(bad) == 0).otherwise(F.lit(True))
+                        per_key = F.transform(bad, _false_viol(pat)).cast(VIOLATION_DDL)
+                        add(
+                            F.coalesce(pred, F.lit(False)),
+                            F.when(pred, _EMPTY_ARR()).otherwise(per_key),
+                        )
+                    else:
+                        raise CannotLower(
+                            "schema-valued patternProperties -> batch")
+
             if "additionalProperties" in schema:
                 ap = schema["additionalProperties"]
                 if ap not in (True, False):
                     raise CannotLower("schema-valued additionalProperties -> batch")
                 if ap is False:
                     allowed = F.array(*[F.lit(c) for c in covered])
-                    extra = F.filter(keys, lambda k: ~F.array_contains(allowed, k))
+
+                    def _is_extra(k: Column) -> Column:
+                        cond = ~F.array_contains(allowed, k)
+                        for pat in pattern_cover:
+                            cond = cond & ~k.rlike(pat)
+                        return cond
+
+                    extra = F.filter(keys, _is_extra)
                     pred = F.when(is_obj, F.size(extra) == 0).otherwise(F.lit(True))
 
                     def _esc(k: Column) -> Column:
@@ -356,6 +416,23 @@ class VariantLowerer:
                               F.flatten(F.transform(keys, per_name))
                               ).otherwise(_EMPTY_ARR()).cast(VIOLATION_DDL)
                 add(F.coalesce(pred, F.lit(False)), viol)
+            if "dependentSchemas" in schema:
+                # trigger keys are literals, so presence gates lower
+                # directly; the dependent subschema applies to the SAME
+                # instance (pass raw_doc through for nested key sets)
+                for dk, dsub in schema["dependentSchemas"].items():
+                    if not _KEY_RE.match(dk):
+                        raise CannotLower(
+                            f"dependentSchemas key {dk!r} -> batch")
+                    cv, cw = self._lower_value(
+                        dsub, val, raw_doc, ipath,
+                        f"{kpath}/dependentSchemas/{pointer_escape(dk)}",
+                        base_uri,
+                    )
+                    applies = is_obj & prop_tag(dk).isNotNull()
+                    add(F.when(applies, cv).otherwise(F.lit(True)),
+                        F.when(applies, cw.cast(VIOLATION_DDL))
+                        .otherwise(_EMPTY_ARR()))
 
         # ---- array keywords (variant -> array<variant>, round 3) --------
         # try_variant_get(v, "$", "array<variant>") yields a real Spark

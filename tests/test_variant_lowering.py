@@ -83,6 +83,17 @@ SCHEMAS = [
     {"items": {"items": {"type": "integer"}, "minItems": 1}},
     {"items": {"type": "object", "required": ["k"],
                "properties": {"k": {"minimum": 0}}}},
+    # round-3b: boolean patternProperties + dependentSchemas
+    {"patternProperties": {"^x": False}},
+    {"patternProperties": {"^extra$": False, "^nam": True}},
+    {"properties": {"k": True}, "patternProperties": {"^nam": True},
+     "additionalProperties": False},
+    {"patternProperties": {"^(k|name|extra|x|a|tags)": True},
+     "additionalProperties": False},
+    {"dependentSchemas": {"k": {"required": ["name"]}}},
+    {"dependentSchemas": {"extra": {"maxProperties": 1}},
+     "properties": {"k": {"type": "integer"}}},
+    {"dependentSchemas": {"a": {"properties": {"a": {"type": "object"}}}}},
 ]
 
 
