@@ -31,7 +31,7 @@ from __future__ import annotations
 import ipaddress
 import re
 from dataclasses import dataclass, field
-from decimal import Decimal
+from decimal import Decimal, InvalidOperation
 from typing import Any, Callable
 
 from jschon_spark.schema.catalog import (
@@ -100,6 +100,19 @@ def json_equal(a: Any, b: Any) -> bool:
 
 def _dec(x: Any) -> Decimal:
     return Decimal(repr(x) if isinstance(x, float) else str(x))
+
+
+def is_multiple_of(value: Any, divisor: Any) -> bool:
+    """Exact multipleOf: Decimal modulo, falling back to Fraction when
+    the quotient exceeds the decimal context precision (Decimal raises
+    DivisionImpossible for e.g. 1e30 % 2 — one extreme document must
+    not kill a whole task)."""
+    try:
+        return _dec(value) % _dec(divisor) == 0
+    except InvalidOperation:
+        from fractions import Fraction
+
+        return Fraction(_dec(value)) % Fraction(_dec(divisor)) == 0
 
 
 # --------------------------------------------------------------------------
@@ -410,7 +423,7 @@ class Evaluator:
 
         if jt == "number":
             if "multipleOf" in schema:
-                if _dec(instance) % _dec(schema["multipleOf"]) != 0:
+                if not is_multiple_of(instance, schema["multipleOf"]):
                     err("multipleOf", f"not a multiple of {schema['multipleOf']}")
             if "maximum" in schema and not instance <= schema["maximum"]:
                 err("maximum", f"exceeds maximum {schema['maximum']}")

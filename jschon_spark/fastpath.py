@@ -120,8 +120,10 @@ class _Compiler:
             return isinstance(v, (int, float)) and not isinstance(v, bool)
 
         if "multipleOf" in schema:
-            m = _dec(schema["multipleOf"])
-            add(lambda v, m=m: not num(v) or _dec(v) % m == 0)
+            from jschon_spark.evaluator import is_multiple_of
+
+            m0 = schema["multipleOf"]
+            add(lambda v, m=m0: not num(v) or is_multiple_of(v, m))
         if "maximum" in schema:
             m = schema["maximum"]
             add(lambda v, m=m: not num(v) or v <= m)

@@ -283,11 +283,17 @@ class ColumnLowerer:
                     pred = col % F.lit(m) == 0
                 else:
                     # exact decimal modulus, mirroring Python Decimal math
-                    # (/root/reference/jschon/vocabulary/validation.py:66-75)
-                    pred = (
-                        col.cast(T.DecimalType(38, 12))
-                        % F.lit(m).cast(T.DecimalType(38, 12))
+                    # (/root/reference/jschon/vocabulary/validation.py:66-75).
+                    # try_cast: ANSI mode errors a plain cast when a
+                    # double value overflows decimal(38,12); beyond that
+                    # magnitude fall back to a double modulus
+                    dec_v = col.try_cast(T.DecimalType(38, 12))
+                    dec_ok = (
+                        dec_v % F.lit(m).cast(T.DecimalType(38, 12))
                     ) == F.lit(0).cast(T.DecimalType(38, 12))
+                    pred = F.when(dec_v.isNotNull(), dec_ok).otherwise(
+                        F.pmod(col, F.lit(float(m))) == 0
+                    )
                 add(*_check(gated(pred), "multipleOf", ipath, kpath, col, f"not a multiple of {m}"))
             for kw, op in (
                 ("maximum", lambda c, v: c <= v),
@@ -296,14 +302,34 @@ class ColumnLowerer:
                 ("exclusiveMinimum", lambda c, v: c > v),
             ):
                 if kw in schema:
+                    bound = schema[kw]
+                    lhs, rhs = col, F.lit(bound)
+                    if isinstance(bound, float) and json_t == "integer":
+                        # long-vs-double comparison coerces the COLUMN
+                        # to double, losing precision above 2^53
+                        # (10^18-1 < 1e18 must hold; after coercion
+                        # they compare equal). Compare in decimal —
+                        # 18-dp rounding of the bound is finer than
+                        # the double gap everywhere a long is exact,
+                        # and beyond-long-range bounds fold to a
+                        # compile-time constant.
+                        if abs(bound) >= 1e19:
+                            above = bound > 0
+                            const = above if kw in ("maximum", "exclusiveMaximum") else not above
+                            lhs, rhs, op = F.lit(0), F.lit(0), (
+                                (lambda c, v: F.lit(True)) if const
+                                else (lambda c, v: F.lit(False)))
+                        else:
+                            dec = T.DecimalType(38, 18)
+                            lhs, rhs = col.cast(dec), F.lit(bound).cast(dec)
                     add(
                         *_check(
-                            gated(op(col, F.lit(schema[kw]))),
+                            gated(op(lhs, rhs)),
                             kw,
                             ipath,
                             kpath,
                             col,
-                            f"violates {kw} {schema[kw]}",
+                            f"violates {kw} {bound}",
                         )
                     )
 

@@ -148,7 +148,10 @@ class VariantLowerer:
                         "boolean": is_bool,
                         "string": is_str,
                         "number": is_num,
-                        "integer": is_num & (dval == F.floor(dval)),
+                        # pmod, not floor: floor(double) yields BIGINT,
+                        # which overflows for values past 2^63 (1e30 IS
+                        # an integer); fmod is exact at any magnitude
+                        "integer": is_num & (F.pmod(dval, F.lit(1.0)) == 0),
                         "object": is_obj,
                         "array": is_arr,
                     }[t]
@@ -157,6 +160,28 @@ class VariantLowerer:
             for p in parts[1:]:
                 pred = pred | p
             add(*_check(pred, "type", ipath, kpath, strval, f"type must be one of {wanted}"))
+
+        # Exact numeric comparison: the double extraction rounds BIGINT
+        # values above 2^53 (10^18-1 < 1e18 compared equal), so compare
+        # in decimal(38,18) when the value fits — 18-dp rounding is
+        # finer than the double gap wherever |x| < 1e19, and order/
+        # equality of distinct doubles is preserved. Values or bounds
+        # beyond that magnitude fall back to the double compare.
+        decval = F.try_variant_get(val, "$", "decimal(38,18)")
+
+        def num_cmp(op, bound):
+            if isinstance(bound, bool) or not isinstance(bound, (int, float)):
+                raise CannotLower("non-numeric bound -> batch")
+            if isinstance(bound, int) and abs(bound) > 2 ** 63 - 1:
+                raise CannotLower("integer bound beyond long -> batch")
+            dbl = op(dval, F.lit(float(bound)))
+            if isinstance(bound, float) and abs(bound) >= 1e19:
+                return dbl
+            b_dec = F.lit(bound).cast("decimal(38,18)")
+            return F.when(decval.isNotNull(), op(decval, b_dec)).otherwise(dbl)
+
+        def num_eq(x):
+            return num_cmp(lambda c, b: c == b, x)
 
         if "enum" in schema:
             values = schema["enum"]
@@ -169,7 +194,7 @@ class VariantLowerer:
                 elif isinstance(x, bool):
                     pred = pred | (is_bool & (F.try_variant_get(val, "$", "boolean") == x))
                 elif isinstance(x, (int, float)):
-                    pred = pred | (is_num & (dval == float(x)))
+                    pred = pred | (is_num & num_eq(x))
                 else:
                     pred = pred | (is_str & (strval == x))
             add(*_check(pred, "enum", ipath, kpath, strval, "value not in enumeration"))
@@ -183,7 +208,7 @@ class VariantLowerer:
             elif isinstance(x, bool):
                 pred = is_bool & (F.try_variant_get(val, "$", "boolean") == x)
             elif isinstance(x, (int, float)):
-                pred = is_num & (dval == float(x))
+                pred = is_num & num_eq(x)
             else:
                 pred = is_str & (strval == x)
             add(*_check(pred, "const", ipath, kpath, strval, "value does not equal const"))
@@ -194,10 +219,43 @@ class VariantLowerer:
 
         if "multipleOf" in schema:
             m = schema["multipleOf"]
-            pred = gated(
-                (dval.cast("decimal(38,12)") % F.lit(m).cast("decimal(38,12)")) == 0,
-                is_num,
+            # 12-dp modulus both sides, value sourced exactly when it
+            # fits: casting through double first would round big ints
+            # (…999 % 2 reported 0). The 12-dp rounding itself is
+            # deliberate — it makes double-parsed literals like 19.99
+            # behave as Decimal("19.99"), matching the evaluator.
+            # try_cast: ANSI mode makes a plain cast ERROR on overflow
+            # (a 1e30 doc would kill the job). Three exactness tiers:
+            # (1) |v| < 1e26: decimal(38,12) modulus;
+            # (2) larger but within decimal range: doubles > 2^53 are
+            #     integral and Spark's double->decimal cast uses
+            #     shortest-repr (same semantics as Python
+            #     Decimal(repr(x))), so a scale-0 modulus against m at
+            #     its own minimal scale is exact — magnitude-guarded
+            #     so ANSI promotion can't overflow;
+            # (3) beyond that: double modulus, approximate like any
+            #     engine computing on parsed doubles.
+            from decimal import Decimal as _D
+
+            m_dec = _D(repr(m)) if isinstance(m, float) else _D(m)
+            m_scale = max(0, -m_dec.as_tuple().exponent)
+            mval = F.coalesce(
+                decval.try_cast("decimal(38,12)"),
+                dval.try_cast("decimal(38,12)"),
             )
+            dec_ok = (mval % F.lit(m).cast("decimal(38,12)")) == 0
+            dbl_ok = F.pmod(dval, F.lit(float(m))) == 0
+            branch = F.when(mval.isNotNull(), dec_ok)
+            if m_scale <= 12 and len(m_dec.as_tuple().digits) <= 38 - m_scale:
+                v0 = dval.try_cast("decimal(38,0)")
+                big_guard = v0.isNotNull() & (
+                    F.abs(dval) < F.lit(float(10 ** (36 - m_scale)))
+                )
+                big_ok = (
+                    v0 % F.lit(float(m)).cast(f"decimal(38,{m_scale})")
+                ) == 0
+                branch = branch.when(big_guard, big_ok)
+            pred = gated(branch.otherwise(dbl_ok), is_num)
             add(*_check(pred, "multipleOf", ipath, kpath, strval, f"not a multiple of {m}"))
         for kw, op in (
             ("maximum", lambda c, m: c <= m),
@@ -206,7 +264,7 @@ class VariantLowerer:
             ("exclusiveMinimum", lambda c, m: c > m),
         ):
             if kw in schema:
-                pred = gated(op(dval, F.lit(float(schema[kw]))), is_num)
+                pred = gated(num_cmp(op, schema[kw]), is_num)
                 add(*_check(pred, kw, ipath, kpath, strval, f"violates {kw} {schema[kw]}"))
 
         if "maxLength" in schema:

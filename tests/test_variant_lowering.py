@@ -30,6 +30,11 @@ DOCS = [
     '[[1], [2, 3]]', '[{"k": 1}, {"k": -2}]',
     '{"tags": [1, 2]}', '{"tags": []}', '{"tags": ["a", 2]}',
     '{"tags": [10, 20, 30]}', '{"tags": "not-array"}', '{"tags": [null]}',
+    # round-3b numeric exactness: BIGINTs beyond 2^53 and huge doubles
+    # (values beyond ~1e36 with multipleOf are documented as
+    # double-approximate on the variant path and excluded here)
+    '{"k": 999999999999999999}', '{"k": 1000000000000000001}',
+    '{"k": 1e30}', '{"k": -1000000000000000001}', '{"k": 19.99}',
 ]
 
 SCHEMAS = [
@@ -94,6 +99,13 @@ SCHEMAS = [
     {"dependentSchemas": {"extra": {"maxProperties": 1}},
      "properties": {"k": {"type": "integer"}}},
     {"dependentSchemas": {"a": {"properties": {"a": {"type": "object"}}}}},
+    # round-3b: exact numerics past 2^53 (decimal-first comparisons)
+    {"properties": {"k": {"exclusiveMaximum": 1e18}}},
+    {"properties": {"k": {"minimum": 1000000000000000001}}},
+    {"properties": {"k": {"multipleOf": 2}}},
+    {"properties": {"k": {"multipleOf": 0.01}}},
+    {"properties": {"k": {"enum": [1000000000000000001, 19.99]}}},
+    {"properties": {"k": {"const": 999999999999999999}}},
 ]
 
 
