@@ -33,6 +33,18 @@ def _split(pointer: str) -> list[str]:
     return [pointer_unescape(t) for t in pointer.split("/")[1:]]
 
 
+# RFC 6901: an array index is "0" or digits with no leading zero —
+# int() alone would accept "01", "+1", " 1" and NEGATIVE indexes
+# (which wrap around in Python lists)
+_IDX_RE = re.compile(r"^(0|[1-9][0-9]*)$")
+
+
+def _index(t: str, pointer: str) -> int:
+    if not _IDX_RE.match(t):
+        raise JSONPatchError(f"invalid array index {t!r} in {pointer!r}")
+    return int(t)
+
+
 def _walk_to_parent(doc: Any, pointer: str) -> tuple[Any, str]:
     tokens = _split(pointer)
     if not tokens:
@@ -40,9 +52,14 @@ def _walk_to_parent(doc: Any, pointer: str) -> tuple[Any, str]:
     node = doc
     for t in tokens[:-1]:
         if isinstance(node, dict):
+            if t not in node:
+                raise JSONPatchError(f"path not found: {pointer!r}")
             node = node[t]
         elif isinstance(node, list):
-            node = node[int(t)]
+            i = _index(t, pointer)
+            if not i < len(node):
+                raise JSONPatchError(f"index out of range: {pointer!r}")
+            node = node[i]
         else:
             raise JSONPatchError(f"cannot descend into leaf at {t!r}")
     return node, tokens[-1]
@@ -56,8 +73,8 @@ def _get(doc: Any, pointer: str) -> Any:
                 raise JSONPatchError(f"path not found: {pointer!r}")
             node = node[t]
         elif isinstance(node, list):
-            i = int(t)
-            if not 0 <= i < len(node):
+            i = _index(t, pointer)
+            if not i < len(node):
                 raise JSONPatchError(f"index out of range: {pointer!r}")
             node = node[i]
         else:
@@ -70,8 +87,8 @@ def _add(doc: Any, path: str, value: Any) -> Any:
         return value
     parent, key = _walk_to_parent(doc, path)
     if isinstance(parent, list):
-        idx = len(parent) if key == "-" else int(key)
-        if not 0 <= idx <= len(parent):
+        idx = len(parent) if key == "-" else _index(key, path)
+        if not idx <= len(parent):
             raise JSONPatchError(f"add index out of range: {path!r}")
         parent.insert(idx, value)
     elif isinstance(parent, dict):
@@ -86,8 +103,8 @@ def _remove(doc: Any, path: str) -> Any:
         raise JSONPatchError("cannot remove the document root")
     parent, key = _walk_to_parent(doc, path)
     if isinstance(parent, list):
-        idx = int(key)
-        if not 0 <= idx < len(parent):
+        idx = _index(key, path)
+        if not idx < len(parent):
             raise JSONPatchError(f"remove index out of range: {path!r}")
         del parent[idx]
     elif isinstance(parent, dict):
@@ -117,8 +134,14 @@ def apply_patch(document: Any, patch: list[dict]) -> Any:
             doc = _remove(doc, path) if path else None
             doc = _add(doc if path else None, path, copy.deepcopy(op["value"]))
         elif kind == "move":
-            val = _get(doc, op["from"])
-            doc = _remove(doc, op["from"])
+            frm = op["from"]
+            # RFC 6902 §4.4: "from" MUST NOT be a proper prefix of
+            # "path" — a location cannot be moved into its own child
+            if path != frm and (frm == "" or path.startswith(frm + "/")):
+                raise JSONPatchError(
+                    f"cannot move {frm!r} into its own child {path!r}")
+            val = _get(doc, frm)
+            doc = _remove(doc, frm)
             doc = _add(doc, path, val)
         elif kind == "copy":
             val = copy.deepcopy(_get(doc, op["from"]))
@@ -159,17 +182,27 @@ def evaluate_relative(
             idx = int(tokens[-1])
         except ValueError:
             raise JSONPatchError("index adjustment on a non-index token") from None
-        tokens[-1] = str(idx + int(adjust))
+        idx += int(adjust)
+        if idx < 0:
+            raise JSONPatchError("index adjustment below zero")
+        tokens[-1] = str(idx)
+
+    def _step(node: Any, t: str) -> Any:
+        try:
+            return node[t] if isinstance(node, dict) else node[_index(t, rel)]
+        except (KeyError, IndexError, TypeError):
+            raise JSONPatchError(f"path not found at {t!r}") from None
+
     if rest == "#":
         if not tokens:
             raise JSONPatchError("'#' at document root")
         parent = doc
         for t in tokens[:-1]:
-            parent = parent[t] if isinstance(parent, dict) else parent[int(t)]
+            parent = _step(parent, t)
         return int(tokens[-1]) if isinstance(parent, list) else tokens[-1]
     node = doc
     for t in tokens:
-        node = node[t] if isinstance(node, dict) else node[int(t)]
+        node = _step(node, t)
     if rest:
         node = _get(node, rest)
     return node

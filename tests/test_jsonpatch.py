@@ -101,3 +101,33 @@ def test_patch_json_column(spark):
     assert rows['{"a": 2}'] is None      # test op failed
     assert rows['{"b": 3}'] is None      # path missing
     assert rows[None] is None
+
+
+def test_strict_array_indexes():
+    # RFC 6901: "0" or digits without leading zero; int() alone would
+    # accept "01" and negative indexes (which wrap in Python lists)
+    for bad_path in ("/a/01", "/a/-1", "/a/+1", "/a/ 1"):
+        with pytest.raises(JSONPatchError):
+            apply_patch({"a": [1, 2]}, [{"op": "remove", "path": bad_path}])
+    with pytest.raises(JSONPatchError):
+        apply_patch({"a": [1]}, [{"op": "add", "path": "/a/01", "value": 9}])
+
+
+def test_move_prefix_rule():
+    # RFC 6902 §4.4: "from" must not be a proper prefix of "path" —
+    # and the violation must surface as JSONPatchError, not KeyError
+    with pytest.raises(JSONPatchError):
+        apply_patch({"a": {"b": 1}}, [{"op": "move", "from": "/a", "path": "/a/c"}])
+    with pytest.raises(JSONPatchError):
+        apply_patch({"a": 1}, [{"op": "move", "from": "", "path": "/a"}])
+    # equal paths and sibling names sharing a prefix are fine
+    assert apply_patch({"a": {"b": 1}}, [{"op": "move", "from": "/a", "path": "/a"}]) == {"a": {"b": 1}}
+    assert apply_patch({"a": 1, "ab": 2}, [{"op": "move", "from": "/a", "path": "/ab"}]) == {"ab": 1}
+
+
+def test_traversal_misses_raise_patch_errors():
+    # deep walks over missing containers must not leak KeyError
+    with pytest.raises(JSONPatchError):
+        apply_patch({}, [{"op": "add", "path": "/x/y", "value": 1}])
+    with pytest.raises(JSONPatchError):
+        evaluate_relative({"a": [1]}, "/a/0", "0-1")
