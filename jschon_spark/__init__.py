@@ -23,11 +23,12 @@ Design (see SURVEY.md):
 """
 
 from jschon_spark.session import get_spark
-from jschon_spark.schema.catalog import SchemaCatalog
+from jschon_spark.schema.catalog import CatalogError, SchemaCatalog
 from jschon_spark.engine import ConstraintEngine, CompiledSchema
 
 __all__ = [
     "get_spark",
+    "CatalogError",
     "SchemaCatalog",
     "ConstraintEngine",
     "CompiledSchema",

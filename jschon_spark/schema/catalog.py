@@ -25,6 +25,13 @@ def _urljoin_cached(base: str, ref: str) -> str:
 
 Schema = Any  # dict | bool
 
+
+class CatalogError(KeyError):
+    """Schema/URI resolution failure (reference analogue:
+    jschon.catalog.CatalogError). Subclasses KeyError so existing
+    callers catching the old convention keep working."""
+
+
 CORE_2020_12 = "https://json-schema.org/draft/2020-12/schema"
 
 
@@ -44,21 +51,25 @@ def pointer_evaluate(doc: Any, pointer: str) -> Any:
     if pointer.startswith("#"):
         pointer = pointer[1:]
     if not pointer.startswith("/"):
-        raise KeyError(f"invalid JSON pointer: {pointer!r}")
+        raise CatalogError(f"invalid JSON pointer: {pointer!r}")
     node = doc
     for raw in pointer.split("/")[1:]:
         token = pointer_unescape(unquote(raw))
         if isinstance(node, dict):
             if token not in node:
-                raise KeyError(f"pointer {pointer!r}: key {token!r} not found")
+                raise CatalogError(f"pointer {pointer!r}: key {token!r} not found")
             node = node[token]
         elif isinstance(node, list):
+            # RFC 6901 strict: "0" or digits with no leading zero
+            if token != "0" and not (token.isdigit() and token[0] != "0"):
+                raise CatalogError(
+                    f"pointer {pointer!r}: invalid array index {token!r}")
             idx = int(token)
-            if not (0 <= idx < len(node)):
-                raise KeyError(f"pointer {pointer!r}: index {idx} out of range")
+            if not idx < len(node):
+                raise CatalogError(f"pointer {pointer!r}: index {idx} out of range")
             node = node[idx]
         else:
-            raise KeyError(f"pointer {pointer!r}: cannot descend into leaf")
+            raise CatalogError(f"pointer {pointer!r}: cannot descend into leaf")
     return node
 
 
@@ -188,7 +199,7 @@ class SchemaCatalog:
         def _scope():
             sid = scope_id if scope_id is not None else uuid.uuid4()
             if sid in self._active_scopes:
-                raise KeyError(f"scope id {sid!r} is already in use")
+                raise CatalogError(f"scope id {sid!r} is already in use")
             self._active_scopes.add(sid)
             snap_res = set(self._resources)
             snap_anc = set(self._anchors)
@@ -283,7 +294,7 @@ class SchemaCatalog:
         if root is None:
             root = self._load_from_source(base)
         if root is None:
-            raise KeyError(f"unresolvable schema URI: {target!r} (base {base_uri!r})")
+            raise CatalogError(f"unresolvable schema URI: {target!r} (base {base_uri!r})")
         if not frag:
             return root, base
         if frag.startswith("/"):
@@ -296,7 +307,7 @@ class SchemaCatalog:
         # plain-name / dynamic anchor
         anchored = self._anchors.get(f"{base}#{frag}")
         if anchored is None:
-            raise KeyError(f"unresolvable anchor: {target!r}")
+            raise CatalogError(f"unresolvable anchor: {target!r}")
         return anchored, base
 
     def dynamic_anchor(self, base_uri: str, name: str) -> Schema | None:
