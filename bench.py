@@ -84,22 +84,45 @@ def main() -> None:
             )
         return time.time() - t0
 
-    # Best-of-2 per query, INTERLEAVED: the sandbox hypervisor has
+    def timed_rep(name, fn, sink: dict[str, float]) -> None:
+        # a failing rep must neither kill the bench nor clobber a
+        # successful rep's timing: only record -1.0 when NO rep of
+        # this query has succeeded in this sink
+        try:
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            t = time.time() - t0
+        except Exception as e:
+            if sink.get(name, -1.0) <= 0:
+                sink[name] = -1.0
+            print(f"# bench error in {name}: {e}", file=sys.stderr)
+            return
+        prev = sink.get(name)
+        sink[name] = round(t if prev is None or prev <= 0 else min(prev, t), 4)
+
+    # Two rep placements, both reported (the artifact must be
+    # comparable round-over-round even if one methodology changes):
+    #
+    # "queries" — best-of-2 INTERLEAVED: the sandbox hypervisor has
     # multi-10s noise windows (BASELINE.md) that poison back-to-back
-    # reps of the same query; two full passes over the list put ~a
-    # minute between a query's reps so a window hits at most one.
-    # Rep 2 also measures steady state (warm codegen/page cache), the
-    # quantity that matters at production scale.
+    # reps; two full passes over the list put ~a minute between a
+    # query's reps so a window hits at most one. Caveat: Spark's
+    # whole-stage-codegen class cache holds ~100 generated classes, so
+    # with 40+ queries in between BOTH reps re-pay Janino compilation —
+    # these numbers carry a per-plan compile overhead.
+    #
+    # "queries_steady" — best-of-2 CONSECUTIVE: rep 1 warms the
+    # codegen cache, rep 2 rides it. This is the steady-state number
+    # (compile amortized away at production scale) and the one
+    # comparable to pre-round-3 artifacts; it is noise-vulnerable, so
+    # read a single outlier against the interleaved column.
     for _ in range(2):
         for name, fn in qs.items():
-            try:
-                t0 = time.time()
-                force(fn(spark, sf_dir))
-                t = time.time() - t0
-                timings[name] = round(min(timings.get(name, t), t), 4)
-            except Exception as e:  # a failing query must not kill the bench
-                timings[name] = -1.0
-                print(f"# bench error in {name}: {e}", file=sys.stderr)
+            timed_rep(name, fn, timings)
+    steady: dict[str, float] = {}
+    for name, fn in qs.items():
+        for _ in range(2):
+            timed_rep(name, fn, steady)
 
     # Corpus reps run CONSECUTIVELY, after the queries: Spark's
     # whole-stage-codegen class cache holds ~100 generated classes, so
@@ -120,6 +143,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_steady": steady,
+        "rep_placement": {
+            "queries": "best-of-2 interleaved across the full list "
+            "(noise-robust; pays whole-stage-codegen recompile per rep)",
+            "queries_steady": "best-of-2 consecutive (steady-state, "
+            "codegen-warm; comparable to BENCH_r02 and earlier)",
+            "corpus_full_pass": "best-of-4 consecutive, rep 1 absorbs "
+            "Janino compile",
+        },
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "docs_per_sec": round(n_pages / corpus_sec, 1),
         "corpus_rows": n_pages,

@@ -50,6 +50,33 @@ class CannotLower(Exception):
     """Schema feature outside the Column-expression subset."""
 
 
+def dec18_exact(bound: float | int) -> bool:
+    """True iff ``bound`` is exactly representable in decimal(38,18).
+
+    Spark's double->decimal cast takes the shortest repr (=
+    ``Decimal(repr(b))``), so the decimal compare is only faithful when
+    that repr survives quantization to 18 decimal places: a tiny bound
+    like 2e-20 rounds to 0E-18 and would collapse distinct values, and
+    magnitudes >= 1e20 overflow the 20 integer digits. Integer bounds
+    within long range are always exact (scale 0).
+    """
+    import decimal
+
+    if isinstance(bound, int):
+        return abs(bound) < 2 ** 63
+    d = decimal.Decimal(repr(bound))
+    if not d.is_finite() or abs(d) >= decimal.Decimal(10) ** 20:
+        return False
+    # 38 significant digits exceed the default context precision (28):
+    # quantizing 1e18 to 18dp needs 37 digits and must not raise
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        try:
+            return d == d.quantize(decimal.Decimal("1e-18"))
+        except decimal.InvalidOperation:
+            return False
+
+
 def spark_json_type(dtype: T.DataType) -> str:
     """Static JSON type of a Spark column type."""
     if isinstance(dtype, T.StringType):
@@ -248,7 +275,11 @@ class ColumnLowerer:
             if isinstance(wanted, str):
                 wanted = [wanted]
             if json_t == "number" and "integer" in wanted and "number" not in wanted:
-                pred: Column = col == F.floor(col)
+                # fmod, not floor: floor(double) yields BIGINT, which
+                # under ANSI mode ERRORS past 2^63 (1e30 IS an
+                # integer); fmod is exact at any magnitude and
+                # sign-preserving (-1e-20 % 1 = -1e-20, not integer)
+                pred: Column = (col % F.lit(1.0)) == 0
             else:
                 pred = F.lit(_static_type_match(json_t, wanted))
             # NULL value = JSON null for non-struct-field positions
@@ -291,8 +322,16 @@ class ColumnLowerer:
                     dec_ok = (
                         dec_v % F.lit(m).cast(T.DecimalType(38, 12))
                     ) == F.lit(0).cast(T.DecimalType(38, 12))
-                    pred = F.when(dec_v.isNotNull(), dec_ok).otherwise(
-                        F.pmod(col, F.lit(float(m))) == 0
+                    # the decimal tier must ROUND-TRIP the value: a
+                    # 1e-20 double casts to a non-NULL 0E-12, which is
+                    # a multiple of everything. And %, not pmod, in the
+                    # fallback — pmod's +m re-add rounds tiny negatives
+                    # onto m exactly (fmod is exact, -0.0 == 0)
+                    dec_exact = dec_v.isNotNull() & (
+                        dec_v.cast(T.DoubleType()) == col
+                    )
+                    pred = F.when(dec_exact, dec_ok).otherwise(
+                        (col % F.lit(float(m))) == 0
                     )
                 add(*_check(gated(pred), "multipleOf", ipath, kpath, col, f"not a multiple of {m}"))
             for kw, op in (
@@ -319,9 +358,15 @@ class ColumnLowerer:
                             lhs, rhs, op = F.lit(0), F.lit(0), (
                                 (lambda c, v: F.lit(True)) if const
                                 else (lambda c, v: F.lit(False)))
-                        else:
+                        elif dec18_exact(bound):
                             dec = T.DecimalType(38, 18)
                             lhs, rhs = col.cast(dec), F.lit(bound).cast(dec)
+                        # else: bound needs >18dp (tiny magnitudes like
+                        # 2e-20 would round to 0E-18) — keep the plain
+                        # long-vs-double coercion. Such bounds always
+                        # have |b| < 1, and rounding a >2^53 long by
+                        # 1 ulp (>=2) can never cross a sub-unit bound,
+                        # so the double compare stays verdict-exact.
                     add(
                         *_check(
                             gated(op(lhs, rhs)),

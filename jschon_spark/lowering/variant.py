@@ -42,6 +42,7 @@ from jschon_spark.lowering.columns import (
     _check,
     _concat,
     _violation,
+    dec18_exact,
 )
 from jschon_spark.schema.catalog import SchemaCatalog, pointer_escape
 
@@ -148,10 +149,13 @@ class VariantLowerer:
                         "boolean": is_bool,
                         "string": is_str,
                         "number": is_num,
-                        # pmod, not floor: floor(double) yields BIGINT,
-                        # which overflows for values past 2^63 (1e30 IS
-                        # an integer); fmod is exact at any magnitude
-                        "integer": is_num & (F.pmod(dval, F.lit(1.0)) == 0),
+                        # fmod (%), not floor: floor(double) yields
+                        # BIGINT, which overflows past 2^63 (1e30 IS an
+                        # integer). And %, not pmod: pmod adds the
+                        # modulus back, and -1e-20 + 1.0 ROUNDS to 1.0,
+                        # misclassifying tiny negatives as integers;
+                        # fmod is exact and sign-preserving (-0.0 == 0)
+                        "integer": is_num & ((dval % F.lit(1.0)) == 0),
                         "object": is_obj,
                         "array": is_arr,
                     }[t]
@@ -175,10 +179,23 @@ class VariantLowerer:
             if isinstance(bound, int) and abs(bound) > 2 ** 63 - 1:
                 raise CannotLower("integer bound beyond long -> batch")
             dbl = op(dval, F.lit(float(bound)))
-            if isinstance(bound, float) and abs(bound) >= 1e19:
+            if isinstance(bound, float) and not dec18_exact(bound):
+                # Bound not representable at 18dp: tiny magnitudes
+                # (2e-20) would round to 0E-18 and collapse distinct
+                # values; |b| >= 1e20 overflows. Such float bounds are
+                # always |b| < 1 or >= 1e20, so the double compare is
+                # verdict-exact even for longs past 2^53 (1-ulp
+                # rounding of a >=2^53 value never crosses the bound).
                 return dbl
             b_dec = F.lit(bound).cast("decimal(38,18)")
-            return F.when(decval.isNotNull(), op(decval, b_dec)).otherwise(dbl)
+            # Value-side guard: try_cast of a tiny double (1e-20) into
+            # decimal(38,18) is non-NULL but ROUNDS to 0E-18 — require
+            # the decimal to round-trip back to the extracted double
+            # before trusting it. Longs round-trip to the same rounded
+            # double as the direct extraction, so big ints still take
+            # the exact branch.
+            exact_val = decval.isNotNull() & (decval.cast("double") == dval)
+            return F.when(exact_val, op(decval, b_dec)).otherwise(dbl)
 
         def num_eq(x):
             return num_cmp(lambda c, b: c == b, x)
@@ -244,12 +261,21 @@ class VariantLowerer:
                 dval.try_cast("decimal(38,12)"),
             )
             dec_ok = (mval % F.lit(m).cast("decimal(38,12)")) == 0
-            dbl_ok = F.pmod(dval, F.lit(float(m))) == 0
-            branch = F.when(mval.isNotNull(), dec_ok)
+            # %, not pmod: pmod adds the modulus back and -1e-20 + m
+            # rounds to m exactly, declaring tiny negatives multiples
+            # of anything; fmod is exact and sign-preserving
+            dbl_ok = (dval % F.lit(float(m))) == 0
+            # each decimal tier must ROUND-TRIP the value (a 1e-20 doc
+            # casts to a non-NULL 0E-12, which is a multiple of
+            # everything) — otherwise fall through to the next tier
+            mval_exact = mval.isNotNull() & (mval.cast("double") == dval)
+            branch = F.when(mval_exact, dec_ok)
             if m_scale <= 12 and len(m_dec.as_tuple().digits) <= 38 - m_scale:
                 v0 = dval.try_cast("decimal(38,0)")
-                big_guard = v0.isNotNull() & (
-                    F.abs(dval) < F.lit(float(10 ** (36 - m_scale)))
+                big_guard = (
+                    v0.isNotNull()
+                    & (v0.cast("double") == dval)
+                    & (F.abs(dval) < F.lit(float(10 ** (36 - m_scale))))
                 )
                 big_ok = (
                     v0 % F.lit(float(m)).cast(f"decimal(38,{m_scale})")
@@ -379,11 +405,17 @@ class VariantLowerer:
                             )
 
                         def _false_viol(p: str):
+                            # mirror the batch evaluator: the pattern is a
+                            # pointer TOKEN in keyword_path (and the
+                            # attributed keyword), so '~'/'/' escape
+                            # (evaluator.py boolean-false attribution)
+                            p_esc = pointer_escape(p)
+
                             def build(k: Column) -> Column:
                                 return F.struct(
-                                    F.lit(p).alias("keyword"),
+                                    F.lit(p_esc).alias("keyword"),
                                     F.concat(ipath, F.lit("/"), _esc0(k)).alias("instance_path"),
-                                    F.lit(f"{kpath}/patternProperties/{p}").alias("keyword_path"),
+                                    F.lit(f"{kpath}/patternProperties/{p_esc}").alias("keyword_path"),
                                     F.substring(k, 1, 256).alias("value"),
                                     F.lit("boolean schema false permits nothing").alias("error"),
                                 )

@@ -74,7 +74,8 @@ def uniqueness_verdict(df: DataFrame, key: str | list[str]) -> DataFrame:
 def duplicate_keys_prefiltered(
     df: DataFrame,
     key: str,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool | None = None,
+    broadcast_max_candidates: int = 10_000_000,
 ) -> DataFrame:
     """Exact duplicate keys with a HASH-prefilter shuffle.
 
@@ -86,9 +87,16 @@ def duplicate_keys_prefiltered(
     collisions merely add candidates, the exact groupBy removes them, so
     the result is identical to duplicate_keys.
 
-    ``broadcast_candidates`` fits when dup-hash count × 8B is
-    broadcastable (true up to ~10^8 duplicate keys); pass False to let
-    AQE pick a shuffled join at extreme duplicate cardinality.
+    ``broadcast_candidates=None`` (default) gates the broadcast on the
+    MEASURED candidate count: the phase-1 aggregate is persisted and
+    counted (the aggregate is one 8-byte row per duplicated hash —
+    tiny relative to the scan that produces it — and the persist lets
+    the phase-2 join reuse it instead of recomputing phase 1), and the
+    broadcast hint is attached only when the count is under
+    ``broadcast_max_candidates``. Above the bound the join is left
+    unhinted so AQE picks a shuffled join — a crawl burst of 10^10
+    duplicate urls can therefore never force an unbounded broadcast.
+    Pass True/False to skip the measuring action and force the choice.
     """
     h = F.xxhash64(F.col(key)).alias("__h")
     cand = (
@@ -98,7 +106,14 @@ def duplicate_keys_prefiltered(
         .filter(F.col("__n") > 1)
         .select("__h")
     )
-    if broadcast_candidates:
+    if broadcast_candidates is None:
+        from jschon_spark.operators import _cachereg
+
+        cand = cand.persist()
+        _cachereg.track("duplicate_keys_prefiltered", cand)
+        if cand.count() <= broadcast_max_candidates:
+            cand = F.broadcast(cand)
+    elif broadcast_candidates:
         cand = F.broadcast(cand)
     return (
         df.join(cand, F.xxhash64(F.col(key)) == F.col("__h"))

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import posixpath
+import re
 from typing import Any
 from functools import lru_cache
 from urllib.parse import urljoin, urlparse, unquote
@@ -33,6 +34,9 @@ class CatalogError(KeyError):
 
 
 CORE_2020_12 = "https://json-schema.org/draft/2020-12/schema"
+
+
+_IDX_RE = re.compile(r"^(0|[1-9][0-9]*)$")
 
 
 def pointer_unescape(token: str) -> str:
@@ -60,8 +64,11 @@ def pointer_evaluate(doc: Any, pointer: str) -> Any:
                 raise CatalogError(f"pointer {pointer!r}: key {token!r} not found")
             node = node[token]
         elif isinstance(node, list):
-            # RFC 6901 strict: "0" or digits with no leading zero
-            if token != "0" and not (token.isdigit() and token[0] != "0"):
+            # RFC 6901 strict: "0" or ASCII digits with no leading
+            # zero — same grammar as jsonpatch._IDX_RE (str.isdigit
+            # alone would admit non-ASCII Unicode digits that int()
+            # happily parses)
+            if not _IDX_RE.match(token):
                 raise CatalogError(
                     f"pointer {pointer!r}: invalid array index {token!r}")
             idx = int(token)

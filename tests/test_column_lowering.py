@@ -134,6 +134,40 @@ def test_lowering_matches_evaluator(spark, typed_df, schema):
     assert got == want
 
 
+@pytest.mark.parametrize(
+    "schema",
+    [
+        # round-4 ADVICE regression: a sub-1e-18 float bound against a
+        # LONG column must not round to 0E-18 through decimal(38,18)
+        # (n=0 wrongly satisfied minimum 2e-20 before the fix); and the
+        # big-long cases that motivated the decimal branch must keep
+        # comparing exactly
+        {"properties": {"n": {"minimum": 2e-20}}},
+        {"properties": {"n": {"maximum": 0.0}}},
+        {"properties": {"n": {"exclusiveMinimum": 1e-20}}},
+        {"properties": {"n": {"exclusiveMaximum": 1e-15}}},
+        {"properties": {"n": {"minimum": 1e18}}},
+        {"properties": {"n": {"maximum": 0.5}}},
+    ],
+    ids=lambda s: str(list(s["properties"]["n"].items())),
+)
+def test_tiny_and_huge_float_bounds_on_long_column(spark, schema):
+    rows = [(v,) for v in [0, 1, -1, 5, 999999999999999999,
+                           1000000000000000001, -1000000000000000001, None]]
+    df = spark.createDataFrame(rows, "n long")
+    eng = ConstraintEngine()
+    compiled = eng.compile(dict(schema))
+    lowered = compiled.lower_columns(df.schema, F.struct(*df.columns))
+    assert lowered is not None  # must stay on the typed path, not batch
+    got = [r.passed for r in compiled.apply_typed(df).select("passed").collect()]
+    ev = Evaluator()
+    want = [
+        ev.validate(schema, {} if r[0] is None else {"n": r[0]}).valid
+        for r in rows
+    ]
+    assert got == want, f"{schema}: {got} != {want}"
+
+
 def test_fallback_used_for_dynamic_ref(spark, typed_df):
     eng = ConstraintEngine()
     schema = {

@@ -35,6 +35,12 @@ DOCS = [
     # double-approximate on the variant path and excluded here)
     '{"k": 999999999999999999}', '{"k": 1000000000000000001}',
     '{"k": 1e30}', '{"k": -1000000000000000001}', '{"k": 19.99}',
+    # round-4 ADVICE regression: tiny magnitudes must not collapse to
+    # 0E-18 through the decimal(38,18) comparison path
+    '{"k": 0}', '{"k": 0.0}', '{"k": 1e-20}', '{"k": 2e-20}',
+    '{"k": -1e-20}', '{"k": 1e-15}',
+    # round-4: '/' and '~' inside matched property names / patterns
+    '{"a/b": 1}', '{"k~": 2}',
 ]
 
 SCHEMAS = [
@@ -106,6 +112,20 @@ SCHEMAS = [
     {"properties": {"k": {"multipleOf": 0.01}}},
     {"properties": {"k": {"enum": [1000000000000000001, 19.99]}}},
     {"properties": {"k": {"const": 999999999999999999}}},
+    # round-4 ADVICE regression: sub-1e-18 bounds are not representable
+    # in decimal(38,18) — the lowering must fall back to the (exact)
+    # double compare instead of comparing against 0E-18
+    {"properties": {"k": {"minimum": 2e-20}}},
+    {"properties": {"k": {"maximum": 0.0}}},
+    {"properties": {"k": {"exclusiveMinimum": 0}}},
+    {"properties": {"k": {"const": 1e-20}}},
+    {"properties": {"k": {"enum": [1e-20, 2e-20]}}},
+    {"properties": {"k": {"exclusiveMaximum": 1e-15}}},
+    # round-4 ADVICE regression: a '/' in a patternProperties pattern is
+    # a pointer token — the attributed keyword must be pointer-escaped
+    # identically on both paths
+    {"patternProperties": {"a/b": False}},
+    {"patternProperties": {"^k~$": False}},
 ]
 
 
