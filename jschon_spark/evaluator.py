@@ -175,7 +175,17 @@ FORMAT_VALIDATORS: dict[str, tuple[Callable[[Any], bool], tuple[str, ...]]] = {
     "date-time": (lambda v: bool(_DATETIME_RE.match(v)), ("string",)),
     "uuid": (lambda v: bool(_UUID_RE.match(v)), ("string",)),
     "regex": (lambda v: _is_regex(v), ("string",)),
-    "uri": (lambda v: bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", v)), ("string",)),
+    # RFC 3986: a scheme, then only unreserved / reserved / %-encoded
+    # characters (a raw space or bracket-free '%' is invalid)
+    "uri": (
+        lambda v: bool(
+            re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", v)
+            and re.fullmatch(
+                r"(?:%[0-9A-Fa-f]{2}|[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=])*", v
+            )
+        ),
+        ("string",),
+    ),
     # round 2: pragmatic forms of the remaining common 2020-12 formats
     # (the reference ships only json-pointer, formats.py:5-9; the rest
     # of this registry is engine surface beyond parity)

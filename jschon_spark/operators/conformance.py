@@ -19,6 +19,7 @@ keyword family in the corpus in one query.
 
 from __future__ import annotations
 
+import hashlib
 import json
 from collections.abc import Iterator
 from typing import Any
@@ -27,23 +28,38 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-CONF_INPUT_DDL = "case_id int, schema_json string, doc_json string"
-CONF_OUTPUT_DDL = "case_id int, valid boolean"
+CONF_INPUT_DDL = "case_id string, schema_json string, doc_json string"
+CONF_OUTPUT_DDL = "case_id string, valid boolean"
 
 
-def flatten_cases(cases: list[dict]) -> list[tuple[int, str, str, bool]]:
+def flatten_cases(cases: list[dict]) -> list[tuple[str, str, str, bool]]:
     """(case_id, schema_json, doc_json, expected) rows, one per test.
 
-    case_id enumerates (group, test) pairs in corpus order, so the ids
-    are stable as long as cases are appended, not reordered.
+    case_id is a CONTENT hash — md5 of (canonical schema, doc,
+    occurrence index) — so reorders and insertions anywhere in the
+    corpus can never shift an expectation onto a different test (the
+    round-2/3 positional ids could). The occurrence index only
+    disambiguates byte-identical (schema, doc) repeats; such repeats
+    must agree on the expected verdict, asserted here so the id scheme
+    cannot silently mask a corpus contradiction.
     """
-    rows: list[tuple[int, str, str, bool]] = []
-    cid = 0
+    rows: list[tuple[str, str, str, bool]] = []
+    seen: dict[tuple[str, str], tuple[int, bool]] = {}
     for case in cases:
         sj = json.dumps(case["schema"], sort_keys=True)
         for data, expected in case["tests"]:
-            rows.append((cid, sj, json.dumps(data), bool(expected)))
-            cid += 1
+            dj = json.dumps(data)
+            n, prev_exp = seen.get((sj, dj), (0, bool(expected)))
+            if n and prev_exp != bool(expected):
+                raise ValueError(
+                    f"corpus contradiction: identical (schema, doc) with "
+                    f"different expected verdicts: {sj[:120]} / {dj[:120]}"
+                )
+            seen[(sj, dj)] = (n + 1, bool(expected))
+            cid = hashlib.md5(
+                f"{sj}\x00{dj}\x00{n}".encode()
+            ).hexdigest()[:16]
+            rows.append((cid, sj, dj, bool(expected)))
     return rows
 
 
@@ -77,7 +93,7 @@ def conformance_verdicts(
                 valid: bool | None = ev_valid
                 if fast is not None and bool(fast(instance)) != ev_valid:
                     valid = None
-                out.append((int(cid), valid))
+                out.append((str(cid), valid))
             yield pd.DataFrame(out, columns=["case_id", "valid"])
 
     return df.mapInPandas(run, CONF_OUTPUT_DDL)
@@ -86,10 +102,10 @@ def conformance_verdicts(
 def expected_values_sql(cases: list[dict]) -> str:
     """DuckDB VALUES table of the hand-authored expected verdicts."""
     vals = ", ".join(
-        f"({cid}, {'true' if exp else 'false'})"
+        f"('{cid}', {'true' if exp else 'false'})"
         for cid, _, _, exp in flatten_cases(cases)
     )
     return (
-        "SELECT CAST(case_id AS INTEGER) AS case_id, valid "
+        "SELECT CAST(case_id AS VARCHAR) AS case_id, valid "
         f"FROM (VALUES {vals}) AS t(case_id, valid)"
     )
