@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": Q.checkpoint_resume,
         # dynamic-JSON ARRAY keywords on the variant path (round 3)
         "props_array_verdicts": Q.props_array_verdicts,
+        "props_pattern_verdicts": Q.props_pattern_verdicts,
         # quantile column stats + the streaming window rollup run in
         # batch mode (round 3)
         "stats_quantiles": Q.stats_quantiles,
@@ -518,6 +519,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # vals = [doc_id, n_chars]: items (integer >= 0) over both
         # elements; contains (>= 100) with minContains 0 / maxContains 1
+        # the constructed doc: every 7th event gets an x_-prefixed key
+        # (additionalProperties:false -> fail); k_ values must be >= 10
+        # (minimum under ^k_); tag enum excludes 'error'; meta must
+        # structurally equal {"v": 1} (v=1 only when event_id % 3 = 0)
+        "props_pattern_verdicts": """
+            SELECT event_id,
+                   (event_id % 7 <> 0
+                    AND value >= 10
+                    AND event_type <> 'error'
+                    AND event_id % 3 = 0) AS passed
+            FROM events
+        """,
         "props_array_verdicts": """
             SELECT doc_id,
                    (doc_id IS NOT NULL AND doc_id >= 0

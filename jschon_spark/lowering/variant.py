@@ -17,14 +17,17 @@ Coverage: object schemas over scalar, NESTED-OBJECT and (round 3)
 ARRAY properties — nested object levels re-serialize their variant
 with ``to_json`` for the key-set keywords, and arrays extract to
 ``array<variant>`` so size/element/contains keywords lower onto
-higher-order functions — still pure Column algebra end to end.
-patternProperties (dynamic paths), 2019-09 tuple items, compound
-enum/const and unevaluated* raise CannotLower → the Arrow batch
-evaluator takes over. Violations match the batch evaluator's
+higher-order functions. Round 4 adds schema-valued patternProperties
+(variant object -> ``map<string, variant>`` + regex-filtered entry
+HOFs) and compound enum/const (recursive structural equality) —
+still pure Column algebra end to end. 2019-09 tuple items and
+unevaluated* raise CannotLower → the Arrow batch evaluator takes
+over. Violations match the batch evaluator's
 (keyword, instance_path, keyword_path) conventions.
 
-Number comparisons run in double; integers beyond 2^53 may lose
-precision — the batch path is exact if that matters.
+Number comparisons are exact through the tiered decimal(38,18)
+strategy wherever both sides are representable (see ``_num_pred``);
+outside that window the double compare is verdict-exact.
 """
 
 from __future__ import annotations
@@ -56,12 +59,89 @@ _SCALAR_KEYWORDS = {
 }
 
 
+def _esc_key(k: Column) -> Column:
+    """JSON-pointer-escape a dynamic key Column (~ -> ~0, / -> ~1)."""
+    return F.replace(
+        F.replace(k, F.lit("~"), F.lit("~0")), F.lit("/"), F.lit("~1")
+    )
+
+
 class VariantLowerer:
     """Lower a flat schema onto (raw json string col, variant col)."""
 
     def __init__(self, catalog: SchemaCatalog, assert_formats: bool = False) -> None:
         self.catalog = catalog
         self.assert_formats = assert_formats
+
+    def _num_pred(self, v: Column, op, bound) -> Column:
+        """Exact numeric comparison of a variant value against a
+        Python bound — the tiered decimal(38,18)/double strategy of
+        ``num_cmp`` (see the comment there), usable on ANY variant
+        Column (HOF lambda variables included)."""
+        if isinstance(bound, bool) or not isinstance(bound, (int, float)):
+            raise CannotLower("non-numeric bound -> batch")
+        if isinstance(bound, int) and abs(bound) > 2 ** 63 - 1:
+            raise CannotLower("integer bound beyond long -> batch")
+        dval = F.try_variant_get(v, "$", "double")
+        dbl = op(dval, F.lit(float(bound)))
+        if isinstance(bound, float) and not dec18_exact(bound):
+            return dbl
+        decval = F.try_variant_get(v, "$", "decimal(38,18)")
+        b_dec = F.lit(bound).cast("decimal(38,18)")
+        exact_val = decval.isNotNull() & (decval.cast("double") == dval)
+        return F.when(exact_val, op(decval, b_dec)).otherwise(dbl)
+
+    def _eq_value(self, v: Column, x: Any) -> Column:
+        """Exact JSON equality of a variant value against a Python JSON
+        literal — the compound enum/const lowering (round 4). Numeric
+        equality is cross-type (1 == 1.0) and exact past 2^53; bools
+        never equal numbers (type-tag gated, matching the evaluator's
+        _json_equal)."""
+        sv = F.schema_of_variant(v)
+        if x is None:
+            return sv == "VOID"
+        if isinstance(x, bool):
+            return (sv == "BOOLEAN") & F.coalesce(
+                F.try_variant_get(v, "$", "boolean") == F.lit(x), F.lit(False)
+            )
+        if isinstance(x, (int, float)):
+            is_num = sv.isin("BIGINT", "DOUBLE", "FLOAT") | sv.startswith("DECIMAL")
+            return is_num & F.coalesce(
+                self._num_pred(v, lambda c, b: c == b, x), F.lit(False)
+            )
+        if isinstance(x, str):
+            return (sv == "STRING") & F.coalesce(
+                F.try_variant_get(v, "$", "string") == F.lit(x), F.lit(False)
+            )
+        if isinstance(x, list):
+            arr = F.try_variant_get(v, "$", "array<variant>")
+            pred = sv.startswith("ARRAY") & arr.isNotNull() & (
+                F.size(arr) == F.lit(len(x))
+            )
+            for i, xi in enumerate(x):
+                # F.get: 0-based, NULL (not error) when out of bounds
+                pred = pred & F.coalesce(
+                    self._eq_value(F.get(arr, i), xi), F.lit(False)
+                )
+            return pred
+        if isinstance(x, dict):
+            # key-count equality via the re-serialized key set (object
+            # key order is irrelevant to JSON equality)
+            pred = sv.startswith("OBJECT") & F.coalesce(
+                F.size(F.json_object_keys(F.to_json(v))) == F.lit(len(x)),
+                F.lit(False),
+            )
+            for k, xv in x.items():
+                if not _KEY_RE.match(k):
+                    raise CannotLower(f"compound const key {k!r} -> batch")
+                child = F.try_variant_get(v, f"$.{k}", "variant")
+                pred = (
+                    pred
+                    & F.schema_of_variant(child).isNotNull()
+                    & F.coalesce(self._eq_value(child, xv), F.lit(False))
+                )
+            return pred
+        raise CannotLower(f"const of type {type(x).__name__} -> batch")
 
     def lower(
         self, schema: Any, doc: Column, v: Column, base_uri: str = ""
@@ -174,36 +254,19 @@ class VariantLowerer:
         decval = F.try_variant_get(val, "$", "decimal(38,18)")
 
         def num_cmp(op, bound):
-            if isinstance(bound, bool) or not isinstance(bound, (int, float)):
-                raise CannotLower("non-numeric bound -> batch")
-            if isinstance(bound, int) and abs(bound) > 2 ** 63 - 1:
-                raise CannotLower("integer bound beyond long -> batch")
-            dbl = op(dval, F.lit(float(bound)))
-            if isinstance(bound, float) and not dec18_exact(bound):
-                # Bound not representable at 18dp: tiny magnitudes
-                # (2e-20) would round to 0E-18 and collapse distinct
-                # values; |b| >= 1e20 overflows. Such float bounds are
-                # always |b| < 1 or >= 1e20, so the double compare is
-                # verdict-exact even for longs past 2^53 (1-ulp
-                # rounding of a >=2^53 value never crosses the bound).
-                return dbl
-            b_dec = F.lit(bound).cast("decimal(38,18)")
-            # Value-side guard: try_cast of a tiny double (1e-20) into
-            # decimal(38,18) is non-NULL but ROUNDS to 0E-18 — require
-            # the decimal to round-trip back to the extracted double
-            # before trusting it. Longs round-trip to the same rounded
-            # double as the direct extraction, so big ints still take
-            # the exact branch.
-            exact_val = decval.isNotNull() & (decval.cast("double") == dval)
-            return F.when(exact_val, op(decval, b_dec)).otherwise(dbl)
+            # Tier selection (see _num_pred): bound must be exactly
+            # representable at 18dp (tiny magnitudes like 2e-20 round
+            # to 0E-18; |b| >= 1e20 overflows) AND the value must
+            # round-trip decimal->double (a 1e-20 doc casts to a
+            # non-NULL 0E-18); otherwise the double compare, which is
+            # verdict-exact wherever the decimal tier isn't available.
+            return self._num_pred(val, op, bound)
 
         def num_eq(x):
             return num_cmp(lambda c, b: c == b, x)
 
         if "enum" in schema:
             values = schema["enum"]
-            if any(isinstance(x, (list, dict)) for x in values):
-                raise CannotLower("compound enum -> batch")
             pred = F.lit(False)
             for x in values:
                 if x is None:
@@ -212,22 +275,26 @@ class VariantLowerer:
                     pred = pred | (is_bool & (F.try_variant_get(val, "$", "boolean") == x))
                 elif isinstance(x, (int, float)):
                     pred = pred | (is_num & num_eq(x))
-                else:
+                elif isinstance(x, str):
                     pred = pred | (is_str & (strval == x))
+                else:
+                    # compound member: recursive structural equality
+                    # (round 4 — was a batch fallback)
+                    pred = pred | F.coalesce(self._eq_value(val, x), F.lit(False))
             add(*_check(pred, "enum", ipath, kpath, strval, "value not in enumeration"))
 
         if "const" in schema:
             x = schema["const"]
-            if isinstance(x, (list, dict)):
-                raise CannotLower("compound const -> batch")
             if x is None:
                 pred = is_null
             elif isinstance(x, bool):
                 pred = is_bool & (F.try_variant_get(val, "$", "boolean") == x)
             elif isinstance(x, (int, float)):
                 pred = is_num & num_eq(x)
-            else:
+            elif isinstance(x, str):
                 pred = is_str & (strval == x)
+            else:
+                pred = F.coalesce(self._eq_value(val, x), F.lit(False))
             add(*_check(pred, "const", ipath, kpath, strval, "value does not equal const"))
 
         def gated(cond: Column, applies: Column) -> Column:
@@ -374,13 +441,15 @@ class VariantLowerer:
                     applies = is_obj & prop_tag(name).isNotNull()
                     add(F.when(applies, cv).otherwise(F.lit(True)),
                         F.when(applies, cw).otherwise(_EMPTY_ARR()))
-            # patternProperties: only the BOOLEAN forms lower — a
-            # schema-valued pattern needs per-key dynamic variant access,
-            # which Spark 4's variant_get (constant path only) can't
-            # express; those go to batch. {pat: true} contributes pattern
-            # coverage for additionalProperties; {pat: false} forbids
-            # matching keys outright (evaluator keyword = the pattern,
-            # evaluator.py false-schema shape).
+            # patternProperties — all three forms lower (round 4):
+            # {pat: true} contributes pattern coverage for
+            # additionalProperties; {pat: false} forbids matching keys
+            # outright (evaluator keyword = the escaped pattern);
+            # schema-valued patterns cast the variant object to
+            # map<string, variant> and evaluate the subschema over the
+            # regex-matched entries with higher-order functions — the
+            # per-key dynamic access Spark's constant-path variant_get
+            # can't express directly.
             pattern_cover: list[str] = []
             if "patternProperties" in schema:
                 for pat, sub in schema["patternProperties"].items():
@@ -398,11 +467,7 @@ class VariantLowerer:
                         def _matcher(p: str):
                             return lambda k: k.rlike(p)
 
-                        def _esc0(k: Column) -> Column:
-                            return F.replace(
-                                F.replace(k, F.lit("~"), F.lit("~0")),
-                                F.lit("/"), F.lit("~1"),
-                            )
+                        _esc0 = _esc_key
 
                         def _false_viol(p: str):
                             # mirror the batch evaluator: the pattern is a
@@ -429,8 +494,49 @@ class VariantLowerer:
                             F.when(pred, _EMPTY_ARR()).otherwise(per_key),
                         )
                     else:
-                        raise CannotLower(
-                            "schema-valued patternProperties -> batch")
+                        pattern_cover.append(pat)
+                        p_esc = pointer_escape(pat)
+                        ents = F.map_entries(
+                            F.try_variant_get(val, "$", "map<string, variant>")
+                        )
+
+                        def _ent_matcher(p: str):
+                            return lambda e: e["key"].rlike(p)
+
+                        def _ent_result(p_esc_: str, sub_: Any):
+                            def build(e: Column) -> Column:
+                                cv, cw = self._lower_value(
+                                    sub_, e["value"], None,
+                                    F.concat(ipath, F.lit("/"), _esc_key(e["key"])),
+                                    f"{kpath}/patternProperties/{p_esc_}",
+                                    base_uri,
+                                )
+                                return F.struct(
+                                    F.coalesce(cv, F.lit(False)).alias("ok"),
+                                    cw.cast(VIOLATION_DDL).alias("w"),
+                                )
+                            return build
+
+                        res = F.transform(
+                            F.filter(ents, _ent_matcher(pat)),
+                            _ent_result(p_esc, sub),
+                        )
+                        pred = F.when(
+                            is_obj,
+                            F.coalesce(
+                                F.forall(res, lambda r: r["ok"]), F.lit(True)
+                            ),
+                        ).otherwise(F.lit(True))
+                        bad_w = F.flatten(
+                            F.transform(
+                                F.filter(res, lambda r: ~r["ok"]),
+                                lambda r: r["w"],
+                            )
+                        ).cast(VIOLATION_DDL)
+                        add(
+                            F.coalesce(pred, F.lit(False)),
+                            F.when(pred, _EMPTY_ARR()).otherwise(bad_w),
+                        )
 
             if "additionalProperties" in schema:
                 ap = schema["additionalProperties"]

@@ -580,6 +580,46 @@ def props_array_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "passed")
 
 
+PATTERN_PROPS_SCHEMA = {
+    "$id": "https://example.org/pattern-props-schema",
+    "type": "object",
+    "patternProperties": {
+        "^k_": {"type": "number", "minimum": 10},
+        "^tag$": {"enum": ["signup", "click", "view", "purchase"]},
+    },
+    "properties": {"meta": {"const": {"v": 1}}},
+    "additionalProperties": False,
+}
+
+
+def props_pattern_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-valued patternProperties + compound const on the VARIANT
+    path (round 4): events are rendered as JSON with a DYNAMIC key
+    (``k_<event_type>``, or ``x_<event_type>`` every 7th event to
+    exercise additionalProperties:false), a ``tag`` gated by a scalar
+    enum that excludes 'error', and a ``meta`` object matched against
+    a compound const. The whole evaluation is map<string,variant> +
+    HOF Column algebra — zero Python in the plan
+    (tests/test_plans.py::test_pattern_props_plan_is_jvm_only)."""
+    ev = _fan_out(load(spark, sf_dir, "events"))
+    key = F.concat(
+        F.when(F.col("event_id") % 7 == 0, F.lit("x_")).otherwise(F.lit("k_")),
+        F.col("event_type"),
+    )
+    mv = F.when(F.col("event_id") % 3 == 0, F.lit(1)).otherwise(F.lit(2))
+    j = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"'), key, F.lit('": '), F.col("value").cast("string"),
+            F.lit(', "tag": "'), F.col("event_type"),
+            F.lit('", "meta": {"v": '), mv.cast("string"), F.lit("}}"),
+        ).alias("j"),
+    )
+    eng = ConstraintEngine()
+    out = eng.compile(PATTERN_PROPS_SCHEMA).apply_json(j, "j")
+    return out.select("event_id", "passed")
+
+
 def stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (p25/50/75/95) for three lineitem
     measures in one scan — the oracle-parity twin of the scale path's

@@ -298,6 +298,27 @@ def test_fan_out_estimates_splits_from_bytes(spark, tmp_path):
     assert _partitions.fan_out(rng) is rng
 
 
+def test_pattern_props_plan_is_jvm_only(spark):
+    """Round 4: schema-valued patternProperties + compound const lower
+    onto map<string,variant> HOFs — the plan must contain no Python
+    stage."""
+    from jschon_spark.engine import ConstraintEngine
+    from jschon_spark.queries import PATTERN_PROPS_SCHEMA
+
+    df = spark.createDataFrame(
+        [('{"k_click": 12.5, "tag": "click", "meta": {"v": 1}}',),
+         ('{"x_view": 3, "tag": "view", "meta": {"v": 1}}',),
+         (None,)],
+        "j string",
+    )
+    out = ConstraintEngine().compile(PATTERN_PROPS_SCHEMA).apply_json(df, "j")
+    plan = plan_of(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    rows = {r.j: r.passed for r in out.collect()}
+    assert rows['{"k_click": 12.5, "tag": "click", "meta": {"v": 1}}'] is True
+    assert rows['{"x_view": 3, "tag": "view", "meta": {"v": 1}}'] is False
+
+
 def test_array_schema_plan_is_jvm_only(spark):
     """Round 3: dynamic-JSON ARRAY keywords lower onto array<variant>
     higher-order functions — the plan must contain no Python stage."""

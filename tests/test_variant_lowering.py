@@ -126,6 +126,23 @@ SCHEMAS = [
     # identically on both paths
     {"patternProperties": {"a/b": False}},
     {"patternProperties": {"^k~$": False}},
+    # round-4: schema-valued patternProperties (map<string,variant> HOF)
+    {"patternProperties": {"^k": {"type": "integer"}}},
+    {"patternProperties": {"^(k|name)": {"type": ["integer", "string"]},
+                           "^a": {"type": "object"}}},
+    {"patternProperties": {"^tags$": {"minItems": 1, "items": {"type": "integer"}}}},
+    {"patternProperties": {"^a": {"properties": {"nested": {"minimum": 0}}}}},
+    {"patternProperties": {"e": {"minimum": 1}}, "additionalProperties": False},
+    {"patternProperties": {"^x": {"const": 1}}},
+    # round-4: compound enum/const structural equality
+    {"properties": {"tags": {"const": [1, 2]}}},
+    {"properties": {"a": {"const": {"nested": 1}}}},
+    {"const": {"k": 10}},
+    {"const": {"a": {"nested": 1}}},
+    {"const": [1, 2]},
+    {"properties": {"tags": {"enum": [[1, 2], [10, 20, 30], "not-array"]}}},
+    {"enum": [{"k": 10}, {"k": -1}, [1, 2], "plain", 17]},
+    {"properties": {"k": {"enum": [[1000000000000000001], {"big": 19.99}]}}},
 ]
 
 
