@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dynamic-JSON ARRAY keywords on the variant path (round 3)
         "props_array_verdicts": Q.props_array_verdicts,
         "props_pattern_verdicts": Q.props_pattern_verdicts,
+        "streaming_dedup_firstseen": Q.streaming_dedup_firstseen,
         # quantile column stats + the streaming window rollup run in
         # batch mode (round 3)
         "stats_quantiles": Q.stats_quantiles,
@@ -523,6 +524,21 @@ def oracle_sql() -> dict[str, str]:
         # (additionalProperties:false -> fail); k_ values must be >= 10
         # (minimum under ^k_); tag enum excludes 'error'; meta must
         # structurally equal {"v": 1} (v=1 only when event_id % 3 = 0)
+        # first-seen-per-key over the deterministic 4-batch replay
+        # (batch = event_id % 4): the key's min batch, then that
+        # batch's occurrence count
+        "streaming_dedup_firstseen": """
+            WITH tagged AS (
+              SELECT user_id, ((event_id % 4) + 4) % 4 AS b FROM events
+            ),
+            firstb AS (
+              SELECT user_id, min(b) AS fb FROM tagged GROUP BY user_id
+            )
+            SELECT t.user_id, CAST(count(*) AS BIGINT) AS n_first_batch
+            FROM tagged t JOIN firstb f
+              ON t.user_id = f.user_id AND t.b = f.fb
+            GROUP BY t.user_id
+        """,
         "props_pattern_verdicts": """
             SELECT event_id,
                    (event_id % 7 <> 0

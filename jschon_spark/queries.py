@@ -620,6 +620,67 @@ def props_pattern_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "passed")
 
 
+def streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the STATEFUL streaming dedup (round 4 — the last
+    pytest-only §2.8 component): events are replayed as four
+    DETERMINISTIC micro-batches (batch = event_id % 4, one parquet file
+    per batch, file mtimes forced strictly increasing so
+    maxFilesPerTrigger=1 fixes the batch order), run through
+    ``streaming.dedup.first_seen`` (applyInPandasWithState), and the
+    emitted (user_id, n_first_batch) rows are returned as a DataFrame.
+    The DuckDB oracle recomputes first-seen-per-key over the same batch
+    assignment: min batch per user, then that batch's occurrence count.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from jschon_spark.streaming.dedup import first_seen
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    tmp = tempfile.mkdtemp(prefix="jss_stream_dedup_")
+    src = os.path.join(tmp, "src")
+    try:
+        for b in range(4):
+            part_dir = os.path.join(tmp, f"b{b}")
+            (
+                ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == b)
+                .select("user_id")
+                .coalesce(1)
+                .write.parquet(part_dir)
+            )
+            os.makedirs(src, exist_ok=True)
+            [part] = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            dst = os.path.join(src, f"batch_{b}.parquet")
+            shutil.move(os.path.join(part_dir, part), dst)
+            # FileStreamSource orders by (mtime, path): force a strict
+            # order so batch b is always micro-batch b
+            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        stream = (
+            spark.readStream.schema("user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            first_seen(stream, "user_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("jss_dedup_firstseen")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, n_first_batch FROM jss_dedup_firstseen"
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "user_id bigint, n_first_batch bigint")
+
+
 def stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (p25/50/75/95) for three lineitem
     measures in one scan — the oracle-parity twin of the scale path's
