@@ -31,11 +31,166 @@ def test_media_meta_and_features(spark):
     assert sorted(str(r.feature) for r in feats) == sorted(str(r.feature) for r in feats2)
 
 
-def test_media_decode_not_implemented(spark):
-    df = spark.createDataFrame([(b"data",)], "payload binary")
-    with pytest.raises(Exception) as exc:
-        media_features(df, "payload", decode_stub=False).collect()
-    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+def test_media_decode_unknown_container_flagged(spark):
+    """decode_stub=False no longer raises: PNG/WAV decode for real
+    (round 4); containers outside the stdlib-decodable subset come
+    back decode_ok=False with no fabricated feature."""
+    df = spark.createDataFrame(
+        [(1, b"data"), (2, _tiny_jpeg(8, 8)), (3, _tiny_gif(4, 4))],
+        "id long, payload binary",
+    )
+    rows = media_features(df, "payload", decode_stub=False).collect()
+    assert all(r.decode_ok is False and r.feature is None for r in rows)
+
+
+def _encode_png(pixels, w, h, nchan, filters):
+    """Minimal stdlib PNG encoder applying a CHOSEN filter per row —
+    exercises every unfilter branch of the decoder."""
+    import struct, zlib
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nchan]
+    stride = w * nchan
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = bytes(pixels[y * stride:(y + 1) * stride])
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for i in range(stride):
+            a = row[i - nchan] if i >= nchan else 0
+            b = prev[i]
+            c = prev[i - nchan] if i >= nchan else 0
+            if ft == 0:
+                enc = row[i]
+            elif ft == 1:
+                enc = row[i] - a
+            elif ft == 2:
+                enc = row[i] - b
+            elif ft == 3:
+                enc = row[i] - ((a + b) >> 1)
+            else:
+                enc = row[i] - paeth(a, b, c)
+            raw.append(enc & 0xFF)
+        prev = row
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">II5B", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_golden_all_filters():
+    """Pixel-exact golden: a known RGB image encoded with every filter
+    type (None/Sub/Up/Average/Paeth) must decode to the exact
+    per-channel mean/std of the source pixels."""
+    import random
+    from jschon_spark.operators.multimodal import decode_png_stats
+
+    rng = random.Random(7)
+    w, h, nchan = 9, 10, 3
+    pixels = [rng.randrange(256) for _ in range(w * h * nchan)]
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _encode_png(pixels, w, h, nchan, filters)
+        s = decode_png_stats(data)
+        assert (s["width"], s["height"], s["channels"]) == (w, h, nchan)
+        n = w * h
+        for c in range(nchan):
+            ch = pixels[c::nchan]
+            mean = sum(ch) / n
+            var = sum(x * x for x in ch) / n - mean * mean
+            assert abs(s["mean"][c] - mean) < 1e-9, filters
+            assert abs(s["std"][c] - var ** 0.5) < 1e-9, filters
+    # grayscale+alpha path
+    ga = [10, 255, 20, 255, 30, 255, 40, 255]
+    s = decode_png_stats(_encode_png(ga, 2, 2, 2, [4]))
+    assert s["channels"] == 2 and abs(s["mean"][0] - 25.0) < 1e-9
+    assert s["mean"][1] == 255.0 and s["std"][1] == 0.0
+
+
+def test_png_decode_unsupported_variants():
+    import struct, zlib
+    from jschon_spark.operators.multimodal import (
+        UnsupportedMedia, decode_png_stats,
+    )
+
+    def build(depth, ctype, interlace):
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body)))
+        ihdr = struct.pack(">II5B", 2, 1, depth, ctype, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+                + chunk(b"IEND", b""))
+
+    for depth, ctype, inter in ((16, 0, 0), (8, 3, 0), (8, 0, 1), (1, 0, 0)):
+        with pytest.raises(UnsupportedMedia):
+            decode_png_stats(build(depth, ctype, inter))
+
+
+def test_wav_decode_golden_square_wave():
+    """Sample-exact golden: a 16-bit square wave's RMS equals its
+    amplitude/32768 and the duration is n_frames/rate."""
+    import struct
+    from jschon_spark.operators.multimodal import (
+        UnsupportedMedia, decode_wav_stats,
+    )
+
+    rate, amp, n = 8000, 1000, 4000
+    samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+    pcm = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+    s = decode_wav_stats(wav)
+    assert s["channels"] == 1 and s["rate"] == rate
+    assert abs(s["duration_sec"] - n / rate) < 1e-12
+    assert abs(s["rms"] - amp / 32768.0) < 1e-12
+    assert abs(s["peak"] - amp / 32768.0) < 1e-12
+    # 8-bit silence: rms 0, peak 0 (the _tiny_wav fixture shape)
+    s8 = decode_wav_stats(_tiny_wav(1.0))
+    assert s8["rms"] == 0.0 and s8["peak"] == 0.0 and s8["duration_sec"] == 1.0
+    # non-PCM (format 3 = IEEE float) must be flagged, not mis-decoded
+    fmt3 = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    body3 = (b"WAVEfmt " + struct.pack("<I", len(fmt3)) + fmt3
+             + b"data" + struct.pack("<I", 8) + b"\x00" * 8)
+    with pytest.raises(UnsupportedMedia):
+        decode_wav_stats(b"RIFF" + struct.pack("<I", 4 + len(body3)) + body3)
+
+
+def test_media_features_real_decode_distributed(spark):
+    """media_features(decode_stub=False) over a mixed batch: PNG/WAV
+    rows carry real stats in the feature vector, JPEG/GIF/None rows are
+    decode_ok=False — same mapInPandas plumbing as the stub path."""
+    rows = [
+        (1, _encode_png([100] * (4 * 3 * 3), 4, 3, 3, [0, 1, 2, 3, 4])),
+        (2, _tiny_wav(2.0)),
+        (3, _tiny_jpeg(8, 8)),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.n_bytes: r for r in
+           media_features(df, "payload", decode_stub=False).collect()}
+    png = got[len(rows[0][1])]
+    assert png.decode_ok and len(png.feature) == 16
+    assert png.feature[:3] == [4.0, 3.0, 3.0]          # w, h, channels
+    assert abs(png.feature[3] - 100 / 255.0) < 1e-6    # mean ch0
+    assert abs(png.feature[7]) < 1e-6                  # std ch0 (flat)
+    wav = got[len(rows[1][1])]
+    assert wav.decode_ok
+    assert abs(wav.feature[0] - 2.0) < 1e-6            # duration
+    assert wav.feature[1] == 8000.0 and wav.feature[2] == 1.0
+    jpg = got[len(rows[2][1])]
+    assert jpg.decode_ok is False and jpg.feature is None
 
 
 def test_frame_sample_plan(spark):
