@@ -72,6 +72,7 @@ class VariantLowerer:
     def __init__(self, catalog: SchemaCatalog, assert_formats: bool = False) -> None:
         self.catalog = catalog
         self.assert_formats = assert_formats
+        self.dialect = "2020-12"
 
     def _num_pred(self, v: Column, op, bound) -> Column:
         """Exact numeric comparison of a variant value against a
@@ -148,6 +149,11 @@ class VariantLowerer:
     ) -> tuple[Column, Column]:
         """(passed, violations) for one document; doc is the raw JSON
         string, v = try_parse_json(doc)."""
+        # dialect derived like the evaluator (_dialect_of): it gates
+        # the 2019-09 tuple-items/additionalItems forms below; nested
+        # $schema switches raise CannotLower -> batch
+        s = schema.get("$schema") if isinstance(schema, dict) else None
+        self.dialect = "2019-09" if (s and "2019-09" in s) else "2020-12"
         valid, viols = self._lower_value(schema, v, doc, F.lit(""), "", base_uri)
         parse_fail = doc.isNotNull() & v.isNull()
         passed = F.when(doc.isNull(), F.lit(None).cast("boolean")).otherwise(
@@ -183,6 +189,15 @@ class VariantLowerer:
         if not isinstance(schema, dict):
             raise CannotLower("schema must be bool or object")
 
+        if "$schema" in schema:
+            sub_d = "2019-09" if "2019-09" in schema["$schema"] else "2020-12"
+            if sub_d != self.dialect:
+                raise CannotLower("nested dialect switch -> batch")
+        if self.dialect == "2019-09" and "prefixItems" in schema:
+            # not a 2019-09 keyword: the evaluator treats it as an
+            # annotation; enforcing it here would diverge
+            raise CannotLower("prefixItems under 2019-09 -> batch")
+
         unsupported = set(schema) - _SCALAR_KEYWORDS - {
             "required", "dependentRequired", "maxProperties", "minProperties",
             "properties", "additionalProperties", "propertyNames",
@@ -192,6 +207,8 @@ class VariantLowerer:
             "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
             "$defs", "$id", "$schema", "$ref",
         }
+        if self.dialect == "2019-09":
+            unsupported -= {"additionalItems"}
         if unsupported:
             raise CannotLower(f"variant lowering does not support {sorted(unsupported)}")
 
@@ -638,10 +655,18 @@ class VariantLowerer:
         # batch path. JSON-null elements are VOID-tagged variants, NOT
         # SQL NULLs, so F.get() returning NULL means out-of-bounds only.
         arr_kws = {"maxItems", "minItems", "prefixItems", "items",
-                   "contains", "maxContains", "minContains"}
+                   "contains", "maxContains", "minContains",
+                   "additionalItems"}
         if arr_kws & set(schema):
+            tuple_items: list | None = None
             if isinstance(schema.get("items"), list):
-                raise CannotLower("2019-09 tuple-form items -> batch")
+                # 2019-09 tuple form (round 4): same per-index
+                # semantics as prefixItems, with additionalItems as
+                # the rest-schema — dialect-gated like the evaluator
+                # (evaluator.py "2019-09 tuple-form items" branch)
+                if self.dialect != "2019-09":
+                    raise CannotLower("tuple items outside 2019-09 -> batch")
+                tuple_items = schema["items"]
             arr = F.try_variant_get(val, "$", "array<variant>")
             n = F.size(arr)
 
@@ -666,16 +691,34 @@ class VariantLowerer:
                     applies = is_arr & (n > j)
                     add(F.when(applies, cv).otherwise(F.lit(True)),
                         F.when(applies, cw).otherwise(_EMPTY_ARR()))
+            if tuple_items is not None:
+                n_prefix = len(tuple_items)
+                for j, psub in enumerate(tuple_items):
+                    cv, cw = self._lower_value(
+                        psub, F.get(arr, j), None,
+                        F.concat(ipath, F.lit(f"/{j}")),
+                        f"{kpath}/items/{j}", base_uri,
+                    )
+                    applies = is_arr & (n > j)
+                    add(F.when(applies, cv).otherwise(F.lit(True)),
+                        F.when(applies, cw).otherwise(_EMPTY_ARR()))
 
-            if "items" in schema:
-                isub = schema["items"]
+            rest_schema = None
+            rest_kw = None
+            if tuple_items is not None:
+                if "additionalItems" in schema:
+                    rest_schema, rest_kw = schema["additionalItems"], "additionalItems"
+            elif "items" in schema:
+                rest_schema, rest_kw = schema["items"], "items"
+            if rest_schema is not None:
+                isub = rest_schema
                 off = n_prefix
 
                 def _item_struct(e: Column, i: Column) -> Column:
                     cv, cw = self._lower_value(
                         isub, e, None,
                         F.concat(ipath, F.lit("/"), (i + off).cast("string")),
-                        f"{kpath}/items", base_uri,
+                        f"{kpath}/{rest_kw}", base_uri,
                     )
                     return F.struct(
                         F.coalesce(cv, F.lit(False)).alias("v"),

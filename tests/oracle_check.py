@@ -47,7 +47,9 @@ def norm_rows(cols, rows):
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "sf0.001"
     only = set(sys.argv[2:])
-    sf_dir = f"/root/testdata/{sf}"
+    # an absolute path selects a synthesized scale (e.g. the sf1 build
+    # from scripts/make_sf1.py); bare names resolve under /root/testdata
+    sf_dir = sf if sf.startswith("/") else f"/root/testdata/{sf}"
 
     con = duckdb.connect()
     for t in TABLES:
@@ -57,25 +59,32 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    import time
+
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
+            t0 = time.time()
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            t_spark = time.time() - t0
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ok*   {name}: rows-only ({len(srows)} rows)")
+            print(f"ok*   {name}: rows-only ({len(srows)} rows) "
+                  f"[spark {t_spark:.2f}s]")
             continue
         try:
+            t0 = time.time()
             res = con.sql(oracles[name])
             ocols = [c for c in res.columns]
             orows = res.fetchall()
+            t_duck = time.time() - t0
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -95,7 +104,8 @@ def main() -> int:
             print(f"FAIL  {name}: values differ; first diffs: {diffs}")
             n_fail += 1
             continue
-        print(f"OK    {name}: {len(sr)} rows")
+        print(f"OK    {name}: {len(sr)} rows "
+              f"[spark {t_spark:.2f}s, duckdb {t_duck:.2f}s]")
     print(f"\n{n_fail} failures")
     return 1 if n_fail else 0
 

@@ -143,6 +143,21 @@ SCHEMAS = [
     {"properties": {"tags": {"enum": [[1, 2], [10, 20, 30], "not-array"]}}},
     {"enum": [{"k": 10}, {"k": -1}, [1, 2], "plain", 17]},
     {"properties": {"k": {"enum": [[1000000000000000001], {"big": 19.99}]}}},
+    # round-4: 2019-09 tuple items + additionalItems lower (dialect-gated)
+    {"$schema": "https://json-schema.org/draft/2019-09/schema",
+     "items": [{"type": "integer"}, {"type": "string"}]},
+    {"$schema": "https://json-schema.org/draft/2019-09/schema",
+     "items": [{"type": "integer"}], "additionalItems": {"type": "string"}},
+    {"$schema": "https://json-schema.org/draft/2019-09/schema",
+     "items": [{"minimum": 0}], "additionalItems": False},
+    {"$schema": "https://json-schema.org/draft/2019-09/schema",
+     "additionalItems": {"type": "boolean"}},
+    {"$schema": "https://json-schema.org/draft/2019-09/schema",
+     "items": {"type": "integer"}, "additionalItems": {"type": "string"}},
+    {"$schema": "https://json-schema.org/draft/2019-09/schema",
+     "properties": {"tags": {"items": [{"type": "integer"},
+                                       {"type": "integer"}],
+                             "additionalItems": {"minimum": 25}}}},
 ]
 
 
