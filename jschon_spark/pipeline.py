@@ -88,8 +88,16 @@ def validate_corpus(
     # map-side combine instead of url strings; exact counts run only on
     # candidate keys. (The salted variant remains the hot-key fallback —
     # operators/uniqueness.py discusses the trade.)
+    # broadcast_candidates=False: in the FLAGSHIP pass the candidate
+    # join must neither force an unbounded broadcast (a crawl burst of
+    # duplicate urls OOMs the executors — VERDICT r3 #1) nor pay the
+    # measuring mode's extra serial count action before the five
+    # concurrent output jobs launch; AQE converts to a runtime
+    # broadcast from MEASURED shuffle sizes when the candidates are
+    # actually small.
     dup_urls = uniqueness.duplicate_keys_prefiltered(
-        docs.filter(F.col("url").isNotNull()), "url"
+        docs.filter(F.col("url").isNotNull()), "url",
+        broadcast_candidates=False,
     )
     lang_viol = referential.referential_violations(
         docs, lang_dim(spark), "lang", "lang_code", select=["url", "lang"]
