@@ -167,9 +167,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "page_verdicts": f"SELECT doc_id, {_PASSED} AS passed FROM documents",
         "page_violations": f"""
-            SELECT doc_id, 'required' AS keyword, '' AS instance_path FROM documents WHERE doc_id IS NULL
-            UNION ALL SELECT doc_id, 'required', '' FROM documents WHERE text IS NULL
-            UNION ALL SELECT doc_id, 'required', '' FROM documents WHERE lang IS NULL
+            SELECT doc_id, 'required' AS keyword, '' AS instance_path FROM documents
+            WHERE doc_id IS NULL OR text IS NULL OR lang IS NULL
             UNION ALL SELECT doc_id, 'minimum', '/doc_id' FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
             UNION ALL SELECT doc_id, 'enum', '/lang' FROM documents WHERE lang IS NOT NULL AND lang NOT IN {_ENUM}
             UNION ALL SELECT doc_id, 'maximum', '/n_chars' FROM documents WHERE n_chars IS NOT NULL AND n_chars > 600
@@ -615,7 +614,7 @@ def _detailed_output_oracle() -> str:
         "valid": False, "instanceLocation": "",
         "errors": [
             {"keyword": "required", "keywordLocation": "/required",
-             "error": "missing required property 'name'", "value": "name"},
+             "error": "missing required properties", "value": "name"},
         ],
         "children": [
             {"valid": False, "instanceLocation": "/tags", "children": [
@@ -644,7 +643,7 @@ def _detailed_output_oracle() -> str:
             {"valid": False, "evaluationPath": "/required",
              "errors": [
                  {"keyword": "required", "instanceLocation": "",
-                  "error": "missing required property 'name'",
+                  "error": "missing required properties",
                   "value": "name"},
              ]},
         ],

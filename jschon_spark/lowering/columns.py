@@ -459,23 +459,31 @@ class ColumnLowerer:
                         f"fewer than {schema['minProperties']} properties",
                     )
                 )
-            if "required" in schema:
+            if "required" in schema and schema["required"]:
+                # ONE violation listing every missing name — the
+                # evaluator (like the reference) reports required once
+                # per keyword, not once per name; per-name rows made
+                # multi-missing docs diverge (found by the round-4
+                # random differential)
                 names = set(f_.name for f_ in dtype.fields)
-                for req in schema["required"]:
-                    if req not in names:
-                        add(
-                            *_check(
-                                F.lit(False), "required", ipath, kpath,
-                                F.lit(req), f"missing required property {req!r}",
-                            )
-                        )
-                    else:
-                        add(
-                            *_check(
-                                col[req].isNotNull(), "required", ipath, kpath,
-                                F.lit(req), f"missing required property {req!r}",
-                            )
-                        )
+                present = [
+                    (req, col[req].isNotNull() if req in names else F.lit(False))
+                    for req in schema["required"]
+                ]
+                all_ok = present[0][1]
+                for _, p in present[1:]:
+                    all_ok = all_ok & p
+                missing = F.concat_ws(
+                    ", ",
+                    *[F.when(p, F.lit(None)).otherwise(F.lit(r))
+                      for r, p in present],
+                )
+                add(
+                    *_check(
+                        all_ok, "required", ipath, kpath, missing,
+                        "missing required properties",
+                    )
+                )
             if "dependentRequired" in schema:
                 names = set(f_.name for f_ in dtype.fields)
                 for k, deps in schema["dependentRequired"].items():
@@ -825,11 +833,22 @@ class ColumnLowerer:
             add(*_check(gated(F.size(col) >= schema["minProperties"]),
                         "minProperties", ipath, kpath, F.size(col),
                         f"fewer than {schema['minProperties']} properties"))
-        if "required" in schema:
-            for req in schema["required"]:
-                add(*_check(F.map_contains_key(col, F.lit(req)),
-                            "required", ipath, kpath, F.lit(req),
-                            f"missing required property {req!r}"))
+        if "required" in schema and schema["required"]:
+            # single violation per keyword (see the struct-path note)
+            present = [
+                (req, F.map_contains_key(col, F.lit(req)))
+                for req in schema["required"]
+            ]
+            all_ok = present[0][1]
+            for _, p in present[1:]:
+                all_ok = all_ok & p
+            missing = F.concat_ws(
+                ", ",
+                *[F.when(p, F.lit(None)).otherwise(F.lit(r))
+                  for r, p in present],
+            )
+            add(*_check(all_ok, "required", ipath, kpath, missing,
+                        "missing required properties"))
         if "dependentRequired" in schema:
             for k, deps in schema["dependentRequired"].items():
                 dep_ok = F.lit(True)
@@ -1048,7 +1067,12 @@ class ColumnLowerer:
         "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$",
         "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
         "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
-        "uri": r"^[A-Za-z][A-Za-z0-9+.-]*:",
+        # scheme lookahead + RFC 3986 character set (sync with the
+        # evaluator's "uri" entry — raw spaces / bare % are invalid)
+        "uri": (
+            r"^(?=[A-Za-z][A-Za-z0-9+.-]*:)"
+            r"(%[0-9A-Fa-f]{2}|[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=])*$"
+        ),
         # lookaheads below are Java- and Python-compatible
         "hostname": (
             r"^(?=.{1,253}$)([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)*"

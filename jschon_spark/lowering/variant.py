@@ -418,11 +418,25 @@ class VariantLowerer:
                     raise CannotLower(f"property name {name!r} needs batch path")
                 return F.schema_of_variant(F.try_variant_get(val, f"$.{name}", "variant"))
 
-            if "required" in schema:
-                for req in schema["required"]:
-                    pred = F.when(is_obj, prop_tag(req).isNotNull()).otherwise(F.lit(True))
-                    add(*_check(pred, "required", ipath, kpath, F.lit(req),
-                                f"missing required property {req!r}"))
+            if "required" in schema and schema["required"]:
+                # single violation per keyword listing the missing
+                # names — evaluator parity (found by the round-4
+                # random differential: multi-missing docs diverged)
+                present = [
+                    (req, prop_tag(req).isNotNull())
+                    for req in schema["required"]
+                ]
+                all_ok = present[0][1]
+                for _, p in present[1:]:
+                    all_ok = all_ok & p
+                missing = F.concat_ws(
+                    ", ",
+                    *[F.when(p, F.lit(None)).otherwise(F.lit(r))
+                      for r, p in present],
+                )
+                pred = F.when(is_obj, all_ok).otherwise(F.lit(True))
+                add(*_check(pred, "required", ipath, kpath, missing,
+                            "missing required properties"))
             if "dependentRequired" in schema:
                 for k, deps in schema["dependentRequired"].items():
                     dep_ok = F.lit(True)

@@ -1,0 +1,226 @@
+"""Randomized cross-path differentials.
+
+Two layers:
+
+* driver-side (hypothesis, shrinking): the closure-compiled fastpath
+  must agree with the interpretive evaluator on randomly generated
+  (schema, document) pairs drawn from a bounded grammar.
+* Spark-side (seeded, deterministic — no flaky examples): the variant
+  lowering must agree with the Arrow batch evaluator on verdicts AND
+  (keyword, instance_path) violation sets for a seeded population of
+  schemas x documents, one createDataFrame per run.
+
+The grammar deliberately wanders into the territory past rounds found
+bugs in: integers beyond 2^53, sub-1e-18 magnitudes, decimal-looking
+floats (19.99), duplicated keys across properties/patternProperties,
+deep nesting, and cross-type numeric equality.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+from jschon_spark.engine import ConstraintEngine
+from jschon_spark.evaluator import Evaluator
+from jschon_spark.fastpath import compile_valid
+from jschon_spark.lowering.columns import CannotLower
+from jschon_spark.lowering.variant import validate_json_column_variant
+from jschon_spark.schema.catalog import SchemaCatalog
+
+# rlike (Java) and re (Python) agree on this subset for the generated
+# documents (ASCII + é, no newlines): keep the generator inside it
+_PATTERNS = ["^a", "b$", "^[a-z]+$", "[0-9]", "x", "^$", "a.c", "^é"]
+_STRINGS = ["", "a", "ab", "abc", "xyz", "aXc", "é", "b", "axc", "123"]
+_NUMBERS = [
+    0, 1, -1, 5, 10, 2 ** 53 + 1, 10 ** 18 - 1, -(10 ** 18) - 1,
+    0.5, 19.99, -0.25, 1e-20, 2e-20, 1e18, 1.0, 2.5, 100.0,
+]
+_KEYS = ["a", "b", "c", "k"]
+
+
+def _rand_doc(rng: random.Random, depth: int = 2):
+    kinds = ["null", "bool", "num", "str"]
+    if depth > 0:
+        kinds += ["arr", "obj", "arr", "obj"]
+    k = rng.choice(kinds)
+    if k == "null":
+        return None
+    if k == "bool":
+        return rng.choice([True, False])
+    if k == "num":
+        return rng.choice(_NUMBERS)
+    if k == "str":
+        return rng.choice(_STRINGS)
+    if k == "arr":
+        return [_rand_doc(rng, depth - 1) for _ in range(rng.randrange(4))]
+    return {
+        rng.choice(_KEYS): _rand_doc(rng, depth - 1)
+        for _ in range(rng.randrange(4))
+    }
+
+
+def _rand_schema(rng: random.Random, depth: int = 2) -> dict:
+    schema: dict = {}
+    n_kw = rng.randrange(1, 4)
+    pool = [
+        "type", "enum", "const", "bounds", "multipleOf", "length",
+        "pattern", "required", "properties", "items_u", "prefixItems",
+        "contains", "uniqueItems", "n_items", "n_props", "propertyNames",
+        "dependentRequired", "patternProperties", "additionalProperties",
+        "combinator", "not", "ifthen",
+    ]
+    for kw in rng.sample(pool, n_kw):
+        if kw == "type":
+            ts = rng.sample(
+                ["null", "boolean", "number", "integer", "string",
+                 "array", "object"],
+                rng.randrange(1, 3),
+            )
+            schema["type"] = ts[0] if len(ts) == 1 else ts
+        elif kw == "enum":
+            schema["enum"] = rng.sample(
+                [1, 1.0, "a", None, True, 19.99, 2 ** 53 + 1, [1, 2],
+                 {"a": 1}],
+                rng.randrange(1, 4),
+            )
+        elif kw == "const":
+            schema["const"] = rng.choice(
+                [1, "a", None, False, 19.99, [1, "a"], {"k": 1}]
+            )
+        elif kw == "bounds":
+            b = rng.choice(_NUMBERS)
+            schema[rng.choice(
+                ["minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"]
+            )] = b
+        elif kw == "multipleOf":
+            schema["multipleOf"] = rng.choice([1, 2, 3, 0.5, 0.01, 2.5])
+        elif kw == "length":
+            schema[rng.choice(["minLength", "maxLength"])] = rng.randrange(4)
+        elif kw == "pattern":
+            schema["pattern"] = rng.choice(_PATTERNS)
+        elif kw == "required":
+            schema["required"] = rng.sample(_KEYS, rng.randrange(1, 3))
+        elif kw == "properties" and depth > 0:
+            schema["properties"] = {
+                k: _rand_schema(rng, depth - 1)
+                for k in rng.sample(_KEYS, rng.randrange(1, 3))
+            }
+        elif kw == "items_u" and depth > 0:
+            schema["items"] = _rand_schema(rng, depth - 1)
+        elif kw == "prefixItems" and depth > 0:
+            schema["prefixItems"] = [
+                _rand_schema(rng, depth - 1)
+                for _ in range(rng.randrange(1, 3))
+            ]
+        elif kw == "contains" and depth > 0:
+            schema["contains"] = _rand_schema(rng, depth - 1)
+            if rng.random() < 0.5:
+                schema["minContains"] = rng.randrange(3)
+            if rng.random() < 0.3:
+                schema["maxContains"] = rng.randrange(1, 4)
+        elif kw == "uniqueItems":
+            schema["uniqueItems"] = True
+        elif kw == "n_items":
+            schema[rng.choice(["minItems", "maxItems"])] = rng.randrange(4)
+        elif kw == "n_props":
+            schema[rng.choice(["minProperties", "maxProperties"])] = rng.randrange(4)
+        elif kw == "propertyNames":
+            schema["propertyNames"] = {"pattern": rng.choice(_PATTERNS)}
+        elif kw == "dependentRequired":
+            schema["dependentRequired"] = {
+                rng.choice(_KEYS): rng.sample(_KEYS, rng.randrange(1, 3))
+            }
+        elif kw == "patternProperties" and depth > 0:
+            schema["patternProperties"] = {
+                rng.choice(_PATTERNS): rng.choice(
+                    [True, False, _rand_schema(rng, depth - 1)]
+                )
+            }
+        elif kw == "additionalProperties" and depth > 0:
+            schema["additionalProperties"] = rng.choice(
+                [True, False, _rand_schema(rng, depth - 1)]
+            )
+        elif kw == "combinator" and depth > 0:
+            schema[rng.choice(["allOf", "anyOf", "oneOf"])] = [
+                _rand_schema(rng, depth - 1)
+                for _ in range(rng.randrange(1, 3))
+            ]
+        elif kw == "not" and depth > 0:
+            schema["not"] = _rand_schema(rng, depth - 1)
+        elif kw == "ifthen" and depth > 0:
+            schema["if"] = _rand_schema(rng, depth - 1)
+            if rng.random() < 0.7:
+                schema["then"] = _rand_schema(rng, depth - 1)
+            if rng.random() < 0.5:
+                schema["else"] = _rand_schema(rng, depth - 1)
+    return schema
+
+
+# ---- driver-side: fastpath vs evaluator (hypothesis shrinking) --------
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.integers(min_value=0, max_value=10 ** 9))
+@settings(max_examples=300, deadline=None)
+def test_fastpath_matches_evaluator_fuzz(seed):
+    rng = random.Random(seed)
+    schema = _rand_schema(rng, depth=2)
+    catalog = SchemaCatalog()
+    base = catalog.register(schema)
+    ev = Evaluator(catalog)
+    fast = compile_valid(schema, catalog, base, False, ev.formats)
+    for i in range(8):
+        doc = _rand_doc(random.Random(seed * 31 + i), depth=2)
+        want = ev.validate(schema, doc).valid
+        assert ev.validate(schema, doc).valid == want  # idempotent
+        if fast is not None:
+            got = bool(fast(doc))
+            assert got == want, (
+                f"seed={seed} schema={json.dumps(schema)} "
+                f"doc={json.dumps(doc)} fast={got} ev={want}"
+            )
+
+
+# ---- Spark-side: variant lowering vs batch evaluator (seeded) ---------
+
+N_SCHEMAS = 40
+N_DOCS = 30
+
+
+def test_variant_matches_batch_seeded_population(spark):
+    rng = random.Random(20260817)
+    docs = [json.dumps(_rand_doc(random.Random(1000 + i), depth=2))
+            for i in range(N_DOCS)]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string").cache()
+    eng = ConstraintEngine()
+    n_lowered = 0
+    for s_i in range(N_SCHEMAS):
+        schema = _rand_schema(random.Random(2000 + s_i), depth=2)
+        compiled = eng.compile(dict(schema), validate_schema=False)
+        try:
+            var = validate_json_column_variant(
+                df, "doc", compiled.schema, compiled.catalog,
+                base_uri=compiled.base_uri,
+            )
+        except CannotLower:
+            continue
+        n_lowered += 1
+        batch = compiled.apply_json(df, "doc", prefer_variant=False)
+        vmap = {r.doc: r for r in var.select("doc", "passed", "violations").collect()}
+        bmap = {r.doc: r for r in batch.select("doc", "passed", "violations").collect()}
+        for d in docs:
+            v, b = vmap[d], bmap[d]
+            assert v.passed == b.passed, (
+                f"schema={json.dumps(schema)} doc={d}: "
+                f"variant={v.passed} batch={b.passed}"
+            )
+            if v.passed is False:
+                vk = sorted((x.keyword, x.instance_path) for x in v.violations)
+                bk = sorted((x.keyword, x.instance_path) for x in b.violations)
+                assert vk == bk, f"schema={json.dumps(schema)} doc={d}: {vk} != {bk}"
+    # the population must actually exercise the variant path
+    assert n_lowered >= N_SCHEMAS // 3, f"only {n_lowered} schemas lowered"

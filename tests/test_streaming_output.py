@@ -71,7 +71,7 @@ def test_detailed_and_hierarchical_goldens(spark):
         "instanceLocation": "",
         "errors": [
             {"keyword": "required", "keywordLocation": "/required",
-             "error": "missing required property 'name'", "value": "name"},
+             "error": "missing required properties", "value": "name"},
         ],
         "children": [
             {"valid": False, "instanceLocation": "/tags", "children": [
@@ -102,7 +102,7 @@ def test_detailed_and_hierarchical_goldens(spark):
             {"valid": False, "evaluationPath": "/required",
              "errors": [
                  {"keyword": "required", "instanceLocation": "",
-                  "error": "missing required property 'name'", "value": "name"},
+                  "error": "missing required properties", "value": "name"},
              ]},
         ],
     }
