@@ -177,8 +177,12 @@ class ColumnLowerer:
         if isinstance(schema, bool):
             if schema:
                 return F.lit(True), _EMPTY_ARR()
+            # attribute the failure to the keyword holding the false
+            # schema — evaluator parity (a bare '' keyword diverged,
+            # found by the round-4 random differential)
+            kw = kpath.rsplit("/", 1)[-1] if kpath else ""
             return F.lit(False), F.array(
-                _violation("", ipath, kpath, col, "boolean schema false permits nothing")
+                _violation(kw, ipath, kpath, col, "boolean schema false permits nothing")
             )
         if not isinstance(schema, dict):
             raise CannotLower(f"schema must be bool or object at {kpath}")
@@ -303,6 +307,12 @@ class ColumnLowerer:
                 raise CannotLower("compound const requires batch evaluator")
             if c is None:
                 pred = col.isNull()
+            elif not self._enum_compatible(c, json_t):
+                # a scalar const of a different JSON type can never
+                # match this column's static type — fold to always-fail
+                # (struct == false would not even analyze; found by the
+                # round-4 random differential)
+                pred = F.lit(False)
             else:
                 pred = col == F.lit(c)
             add(*_check(pred, "const", ipath, kpath, col, "value does not equal const"))
@@ -778,7 +788,10 @@ class ColumnLowerer:
                     )
         if "propertyNames" in schema:
             # field names are static: evaluate each name at compile time
-            # with the driver-side evaluator (names are strings)
+            # with the driver-side evaluator (names are strings).
+            # Evaluator parity (absorb with msg): a failing name emits
+            # the 'propertyNames' row AND the subschema's own violation
+            # rows, rebased under {kpath}/propertyNames
             from jschon_spark.evaluator import Evaluator
 
             ev = Evaluator(self.catalog)
@@ -786,12 +799,25 @@ class ColumnLowerer:
                 o = ev.validate(schema["propertyNames"], name)
                 if not o.valid:
                     child = col[name]
-                    add(
-                        *_check(
-                            child.isNull(), "propertyNames", ipath, kpath,
+                    ok = F.coalesce(child.isNull(), F.lit(True))
+                    rows = [
+                        _violation(
+                            "propertyNames", ipath, f"{kpath}/propertyNames",
                             F.lit(name), f"property name {name!r} is invalid",
                         )
+                    ] + [
+                        _violation(
+                            e.keyword,
+                            F.concat(ipath, F.lit(e.instance_path)),
+                            f"{kpath}/propertyNames{e.keyword_path}",
+                            F.lit(name), e.error,
+                        )
+                        for e in o.errors
+                    ]
+                    viol = F.when(ok, _EMPTY_ARR()).otherwise(
+                        F.array(*rows).cast(VIOLATION_DDL)
                     )
+                    add(ok, viol)
         if "dependentSchemas" in schema:
             for k, sub in schema["dependentSchemas"].items():
                 if k not in fields:

@@ -224,3 +224,69 @@ def test_variant_matches_batch_seeded_population(spark):
                 assert vk == bk, f"schema={json.dumps(schema)} doc={d}: {vk} != {bk}"
     # the population must actually exercise the variant path
     assert n_lowered >= N_SCHEMAS // 3, f"only {n_lowered} schemas lowered"
+
+
+# ---- Spark-side: typed lowering vs evaluator (seeded) -----------------
+
+def test_typed_matches_evaluator_seeded_population(spark):
+    """Same grammar pointed at a TYPED row schema: apply_typed must
+    agree with the evaluator on verdicts and violation sets. (This
+    population's first run found three real divergences: per-name
+    required rows, ''-keyword boolean-false attribution, and
+    propertyNames reporting at the wrong level.)"""
+    global _KEYS
+    keys_save = list(_KEYS)
+    _KEYS[:] = ["url", "lang", "n", "score", "flag", "tags", "nums"]
+    try:
+        rng = random.Random(7)
+        rows = []
+        for _ in range(60):
+            rows.append((
+                rng.choice(["https://a.x/1", "", "x", None]),
+                rng.choice(["en", "EN", "zz", "", None]),
+                rng.choice([0, 1, -1, 5, 999999999999999999, 2 ** 53 + 1, None]),
+                rng.choice([0.0, 1.5, 19.99, -0.5, 1e-20, None]),
+                rng.choice([True, False, None]),
+                rng.choice([["a", "b"], ["a", "a"], [], ["x"], [None], None]),
+                rng.choice([[1, 2, 3], [1, 1], [], [5], [None, 2], None]),
+            ))
+        ddl = ("url string, lang string, n long, score double, "
+               "flag boolean, tags array<string>, nums array<long>")
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, ddl).cache()
+        cols = ["url", "lang", "n", "score", "flag", "tags", "nums"]
+        eng = ConstraintEngine()
+        ev = Evaluator()
+        n_lowered = 0
+        for s_i in range(30):
+            schema = _rand_schema(random.Random(333000 + s_i), depth=2)
+            compiled = eng.compile(dict(schema), validate_schema=False)
+            try:
+                compiled.lower_columns(df.schema, F.struct(*df.columns))
+            except CannotLower:
+                continue
+            n_lowered += 1
+            got = [
+                (r.passed,
+                 sorted((x.keyword, x.instance_path) for x in r.violations)
+                 if r.passed is False else [])
+                for r in compiled.apply_typed(df)
+                .select("passed", "violations").collect()
+            ]
+            for r, (gp, gv) in zip(rows, got):
+                inst = {c: v for c, v in zip(cols, r) if v is not None}
+                o = ev.validate(schema, inst)
+                assert gp == o.valid, (
+                    f"schema={json.dumps(schema)} inst={inst}: "
+                    f"typed={gp} ev={o.valid}"
+                )
+                if gp is False:
+                    want = sorted((e.keyword, e.instance_path) for e in o.errors)
+                    assert gv == want, (
+                        f"schema={json.dumps(schema)} inst={inst}: "
+                        f"{gv} != {want}"
+                    )
+        assert n_lowered >= 10, f"only {n_lowered} schemas lowered"
+    finally:
+        _KEYS[:] = keys_save
