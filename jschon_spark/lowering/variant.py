@@ -201,7 +201,7 @@ class VariantLowerer:
         unsupported = set(schema) - _SCALAR_KEYWORDS - {
             "required", "dependentRequired", "maxProperties", "minProperties",
             "properties", "additionalProperties", "propertyNames",
-            "patternProperties", "dependentSchemas",
+            "patternProperties", "dependentSchemas", "unevaluatedProperties",
             "maxItems", "minItems", "prefixItems", "items",
             "contains", "maxContains", "minContains",
             "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
@@ -405,7 +405,8 @@ class VariantLowerer:
         # ---- object keywords (need the raw doc for the key set) --------
         obj_kws = {"required", "dependentRequired", "maxProperties",
                    "minProperties", "properties", "additionalProperties",
-                   "propertyNames", "patternProperties", "dependentSchemas"}
+                   "propertyNames", "patternProperties", "dependentSchemas",
+                   "unevaluatedProperties"}
         if obj_kws & set(schema):
             # key set: the root has the raw JSON string; nested objects
             # re-serialize their variant (to_json(variant) is JVM-side),
@@ -569,43 +570,144 @@ class VariantLowerer:
                             F.when(pred, _EMPTY_ARR()).otherwise(bad_w),
                         )
 
-            if "additionalProperties" in schema:
-                ap = schema["additionalProperties"]
-                if ap not in (True, False):
-                    raise CannotLower("schema-valued additionalProperties -> batch")
+            def _rest_properties(
+                kw_name: str, ap: Any, valid_aware: bool,
+                ap_true_present: bool = False,
+            ) -> None:
+                """Evaluate ``ap`` over entries NOT covered by literal
+                properties / patternProperties — shared by
+                additionalProperties (name-match coverage, like the
+                evaluator's matched_by_props) and the conservatively
+                gated unevaluatedProperties (round 4), whose coverage
+                counts only VALIDLY evaluated children
+                (evaluated_props.add happens only when o.valid).
+                ``ap_true_present``: an additionalProperties:true
+                sibling validly evaluates every NON-name-matched key,
+                so only name-matched-but-failed keys stay unevaluated.
+                """
+                if ap is True:
+                    return
+                ents = F.map_entries(
+                    F.try_variant_get(val, "$", "map<string, variant>")
+                )
+                props = schema.get("properties") or {}
+                pats = schema.get("patternProperties") or {}
+
+                def _uncov(e: Column) -> Column:
+                    cond = F.lit(True)
+                    name_match = F.lit(False)
+                    for name in props:
+                        m = e["key"] == F.lit(name)
+                        name_match = name_match | m
+                        if valid_aware:
+                            ok_n, _ = self._lower_value(
+                                props[name], e["value"], None,
+                                F.lit(""), "", base_uri)
+                            m = m & F.coalesce(ok_n, F.lit(False))
+                        cond = cond & ~m
+                    for name in covered:
+                        if name not in props:  # names covered elsewhere
+                            name_match = name_match | (e["key"] == F.lit(name))
+                            cond = cond & (e["key"] != F.lit(name))
+                    for pat in pats:
+                        m = e["key"].rlike(pat)
+                        name_match = name_match | m
+                        if valid_aware:
+                            sp = pats[pat]
+                            if sp is True:
+                                ok_p = F.lit(True)
+                            elif sp is False:
+                                ok_p = F.lit(False)
+                            else:
+                                ok_p, _ = self._lower_value(
+                                    sp, e["value"], None, F.lit(""), "",
+                                    base_uri)
+                                ok_p = F.coalesce(ok_p, F.lit(False))
+                            m = m & ok_p
+                        cond = cond & ~m
+                    if ap_true_present:
+                        cond = cond & name_match
+                    return cond
+
+                extra = F.filter(ents, _uncov)
                 if ap is False:
-                    allowed = F.array(*[F.lit(c) for c in covered])
-
-                    def _is_extra(k: Column) -> Column:
-                        cond = ~F.array_contains(allowed, k)
-                        for pat in pattern_cover:
-                            cond = cond & ~k.rlike(pat)
-                        return cond
-
-                    extra = F.filter(keys, _is_extra)
                     pred = F.when(is_obj, F.size(extra) == 0).otherwise(F.lit(True))
-
-                    def _esc(k: Column) -> Column:
-                        return F.replace(
-                            F.replace(k, F.lit("~"), F.lit("~0")),
-                            F.lit("/"), F.lit("~1"),
-                        )
-
-                    # one violation per offending property, at /<key>
+                    msg = ("additional properties are not allowed"
+                           if kw_name == "additionalProperties"
+                           else "boolean schema false permits nothing")
                     per_key = F.transform(
                         extra,
-                        lambda k: F.struct(
-                            F.lit("additionalProperties").alias("keyword"),
-                            F.concat(ipath, F.lit("/"), _esc(k)).alias("instance_path"),
-                            F.lit(f"{kpath}/additionalProperties").alias("keyword_path"),
-                            F.substring(k, 1, 256).alias("value"),
-                            F.lit("additional properties are not allowed").alias("error"),
+                        lambda e: F.struct(
+                            F.lit(kw_name).alias("keyword"),
+                            F.concat(ipath, F.lit("/"), _esc_key(e["key"])).alias("instance_path"),
+                            F.lit(f"{kpath}/{kw_name}").alias("keyword_path"),
+                            F.substring(e["key"], 1, 256).alias("value"),
+                            F.lit(msg).alias("error"),
                         ),
                     ).cast(VIOLATION_DDL)
                     add(
                         F.coalesce(pred, F.lit(False)),
                         F.when(pred, _EMPTY_ARR()).otherwise(per_key),
                     )
+                    return
+                # schema-valued (round 4): evaluate the subschema over
+                # uncovered entries with HOFs — absorb-without-message
+                # shape (child violations only), matching the evaluator
+
+                def _ent_res(e: Column) -> Column:
+                    cv, cw = self._lower_value(
+                        ap, e["value"], None,
+                        F.concat(ipath, F.lit("/"), _esc_key(e["key"])),
+                        f"{kpath}/{kw_name}", base_uri,
+                    )
+                    return F.struct(
+                        F.coalesce(cv, F.lit(False)).alias("ok"),
+                        cw.cast(VIOLATION_DDL).alias("w"),
+                    )
+
+                res = F.transform(extra, _ent_res)
+                pred = F.when(
+                    is_obj,
+                    F.coalesce(F.forall(res, lambda r: r["ok"]), F.lit(True)),
+                ).otherwise(F.lit(True))
+                bad_w = F.flatten(
+                    F.transform(F.filter(res, lambda r: ~r["ok"]), lambda r: r["w"])
+                ).cast(VIOLATION_DDL)
+                add(
+                    F.coalesce(pred, F.lit(False)),
+                    F.when(pred, _EMPTY_ARR()).otherwise(bad_w),
+                )
+
+            if "additionalProperties" in schema:
+                _rest_properties(
+                    "additionalProperties", schema["additionalProperties"],
+                    valid_aware=False,
+                )
+            if "unevaluatedProperties" in schema:
+                # conservative gate: lowerable only when NOTHING else
+                # can contribute property annotations at this level —
+                # in-place applicators and $ref merge child coverage
+                # the Column algebra can't see. additionalProperties
+                # True evaluates every uncovered key, making
+                # unevaluatedProperties vacuous; any other form -> batch
+                blockers = {
+                    "$ref", "$dynamicRef", "$recursiveRef", "allOf",
+                    "anyOf", "oneOf", "if", "then", "else",
+                    "dependentSchemas",
+                } & set(schema)
+                if blockers:
+                    raise CannotLower(
+                        f"unevaluatedProperties with {sorted(blockers)} -> batch")
+                ap_kw = schema.get("additionalProperties")
+                if "additionalProperties" in schema and ap_kw is not True:
+                    raise CannotLower(
+                        "unevaluatedProperties alongside non-trivial "
+                        "additionalProperties -> batch")
+                _rest_properties(
+                    "unevaluatedProperties",
+                    schema["unevaluatedProperties"], valid_aware=True,
+                    ap_true_present=ap_kw is True,
+                )
             if "propertyNames" in schema:
                 sub = schema["propertyNames"]
                 # lower the name schema against a string value: reuse the

@@ -70,7 +70,7 @@ def _rand_schema(rng: random.Random, depth: int = 2) -> dict:
         "pattern", "required", "properties", "items_u", "prefixItems",
         "contains", "uniqueItems", "n_items", "n_props", "propertyNames",
         "dependentRequired", "patternProperties", "additionalProperties",
-        "combinator", "not", "ifthen",
+        "combinator", "not", "ifthen", "unevaluatedProps",
     ]
     for kw in rng.sample(pool, n_kw):
         if kw == "type":
@@ -150,6 +150,10 @@ def _rand_schema(rng: random.Random, depth: int = 2) -> dict:
             ]
         elif kw == "not" and depth > 0:
             schema["not"] = _rand_schema(rng, depth - 1)
+        elif kw == "unevaluatedProps" and depth > 0:
+            schema["unevaluatedProperties"] = rng.choice(
+                [True, False, _rand_schema(rng, depth - 1)]
+            )
         elif kw == "ifthen" and depth > 0:
             schema["if"] = _rand_schema(rng, depth - 1)
             if rng.random() < 0.7:

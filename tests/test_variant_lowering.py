@@ -143,6 +143,21 @@ SCHEMAS = [
     {"properties": {"tags": {"enum": [[1, 2], [10, 20, 30], "not-array"]}}},
     {"enum": [{"k": 10}, {"k": -1}, [1, 2], "plain", 17]},
     {"properties": {"k": {"enum": [[1000000000000000001], {"big": 19.99}]}}},
+    # round-4b: schema-valued additionalProperties + gated
+    # unevaluatedProperties on the variant path
+    {"properties": {"a": {"type": "object"}},
+     "additionalProperties": {"type": "integer"}},
+    {"additionalProperties": {"minimum": 5}},
+    {"properties": {"k": True}, "unevaluatedProperties": False},
+    {"unevaluatedProperties": {"type": "integer"}},
+    # a properties child that FAILS leaves its key unevaluated — the
+    # outer unevaluatedProperties must then apply to it too
+    {"properties": {"k": {"type": "string"}},
+     "unevaluatedProperties": {"type": "integer"}},
+    {"patternProperties": {"^(k|name)": {"type": "integer"}},
+     "unevaluatedProperties": False},
+    {"properties": {"k": {"minimum": 5}}, "additionalProperties": True,
+     "unevaluatedProperties": False},
     # round-4: 2019-09 tuple items + additionalItems lower (dialect-gated)
     {"$schema": "https://json-schema.org/draft/2019-09/schema",
      "items": [{"type": "integer"}, {"type": "string"}]},
