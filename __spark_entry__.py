@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dynamic-JSON ARRAY keywords on the variant path (round 3)
         "props_array_verdicts": Q.props_array_verdicts,
         "props_pattern_verdicts": Q.props_pattern_verdicts,
+        "custom_registry_verdicts": Q.custom_registry_verdicts,
         "streaming_dedup_firstseen": Q.streaming_dedup_firstseen,
         # quantile column stats + the streaming window rollup run in
         # batch mode (round 3)
@@ -526,6 +527,13 @@ def oracle_sql() -> dict[str, str]:
         # first-seen-per-key over the deterministic 4-batch replay
         # (batch = event_id % 4): the key's min batch, then that
         # batch's occurrence count
+        # custom format (length<=5) + custom keyword (divisible by 3)
+        # replayed in plain SQL
+        "custom_registry_verdicts": """
+            SELECT event_id,
+                   (length(event_type) <= 5 AND (event_id % 3) = 0) AS passed
+            FROM events
+        """,
         "streaming_dedup_firstseen": """
             WITH tagged AS (
               SELECT user_id, ((event_id % 4) + 4) % 4 AS b FROM events

@@ -620,6 +620,46 @@ def props_pattern_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "passed")
 
 
+def custom_registry_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-registry surface behind the oracle gate (round 4 — closes a
+    pytest-only row): a custom FORMAT (x-short-tag, length <= 5) and a
+    custom KEYWORD (x-divisibleBy) register Column + Python forms and
+    drive a typed validation over events; the DuckDB oracle replays
+    both rules in plain SQL. Mirrors the reference's format_validator /
+    Keyword extension points (jschon/vocabulary/format.py:47-66)."""
+    from jschon_spark.functions.registry import (
+        FORMAT_REGISTRY,
+        KEYWORD_REGISTRY,
+        custom_keyword,
+        format_validator,
+    )
+
+    if "x-short-tag" not in FORMAT_REGISTRY:
+        @format_validator("x-short-tag", column_fn=lambda c: F.length(c) <= 5)
+        def _short_tag(v) -> bool:
+            return not isinstance(v, str) or len(v) <= 5
+
+    if "x-divisibleBy" not in KEYWORD_REGISTRY:
+        @custom_keyword(
+            "x-divisibleBy", instance_types=("integer", "number"),
+            column_fn=lambda d, col, dtype: col % F.lit(d) == 0,
+            error="value is not divisible by the divisor",
+        )
+        def _div_by(d):
+            return lambda v: (v % d) == 0
+
+    ev = _fan_out(load(spark, sf_dir, "events")).select("event_id", "event_type")
+    eng = ConstraintEngine(assert_formats=True)
+    schema = {
+        "type": "object",
+        "properties": {
+            "event_type": {"type": "string", "format": "x-short-tag"},
+            "event_id": {"x-divisibleBy": 3},
+        },
+    }
+    return eng.compile(schema).apply_typed(ev).select("event_id", "passed")
+
+
 def streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate for the STATEFUL streaming dedup (round 4 — the last
     pytest-only §2.8 component): events are replayed as four
