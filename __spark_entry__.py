@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dynamic-JSON ARRAY keywords on the variant path (round 3)
         "props_array_verdicts": Q.props_array_verdicts,
         "props_pattern_verdicts": Q.props_pattern_verdicts,
+        "local_source_verdicts": Q.local_source_verdicts,
         "custom_registry_verdicts": Q.custom_registry_verdicts,
         "streaming_dedup_firstseen": Q.streaming_dedup_firstseen,
         # quantile column stats + the streaming window rollup run in
@@ -527,6 +528,15 @@ def oracle_sql() -> dict[str, str]:
         # first-seen-per-key over the deterministic 4-batch replay
         # (batch = event_id % 4): the key's min batch, then that
         # batch's occurrence count
+        # cross-file \$ref resolved through a LocalSource: k must be an
+        # integer in [0, 50] and present
+        "local_source_verdicts": """
+            SELECT event_id,
+                   (json_type(props, '$.k') IN ('UBIGINT','BIGINT')
+                    AND CAST(json_extract(props, '$.k') AS BIGINT)
+                        BETWEEN 0 AND 50) AS passed
+            FROM events
+        """,
         # custom format (length<=5) + custom keyword (divisible by 3)
         # replayed in plain SQL
         "custom_registry_verdicts": """

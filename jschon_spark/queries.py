@@ -620,6 +620,41 @@ def props_pattern_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "passed")
 
 
+def local_source_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$ref resolution through a LocalSource directory behind the
+    oracle gate (round 4 — source loading was pytest-only): two schema
+    files are written to disk, routed by URI prefix (longest-prefix
+    match, jschon Catalog.add_uri_source analogue), pulled ON DEMAND
+    when compile resolves the cross-file $ref, and drive a variant-path
+    validation of events.props. Files are read driver-side only; the
+    temp dir is gone before the first executor task runs."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="jss_localsrc_")
+    try:
+        with open(os.path.join(tmp, "limits.json"), "w", encoding="utf-8") as f:
+            _json.dump({"type": "integer", "minimum": 0, "maximum": 50}, f)
+        with open(os.path.join(tmp, "base.json"), "w", encoding="utf-8") as f:
+            _json.dump(
+                {"$id": "https://cat.test/base",
+                 "type": "object", "required": ["k"],
+                 "properties": {"k": {"$ref": "limits"}}},
+                f,
+            )
+        eng = ConstraintEngine()
+        eng.catalog.add_local_source("https://cat.test/", tmp)
+        schema, _base = eng.catalog.resolve("https://cat.test/base", "")
+        compiled = eng.compile(schema, uri="https://cat.test/base")
+        ev = _fan_out(load(spark, sf_dir, "events"))
+        out = compiled.apply_json(ev, "props")
+        return out.select("event_id", "passed")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def custom_registry_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-registry surface behind the oracle gate (round 4 — closes a
     pytest-only row): a custom FORMAT (x-short-tag, length <= 5) and a
