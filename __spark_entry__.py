@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_array_verdicts": Q.props_array_verdicts,
         "props_pattern_verdicts": Q.props_pattern_verdicts,
         "local_source_verdicts": Q.local_source_verdicts,
+        "remote_source_verdicts": Q.remote_source_verdicts,
+        "nan_strict_verdicts": Q.nan_strict_verdicts,
         "custom_registry_verdicts": Q.custom_registry_verdicts,
         "streaming_dedup_firstseen": Q.streaming_dedup_firstseen,
         # quantile column stats + the streaming window rollup run in
@@ -535,6 +537,28 @@ def oracle_sql() -> dict[str, str]:
                    (json_type(props, '$.k') IN ('UBIGINT','BIGINT')
                     AND CAST(json_extract(props, '$.k') AS BIGINT)
                         BETWEEN 0 AND 50) AS passed
+            FROM events
+        """,
+        # same constraint served over HTTP (k integer in [10, 80])
+        "remote_source_verdicts": """
+            SELECT event_id,
+                   (json_type(props, '$.k') IN ('UBIGINT','BIGINT')
+                    AND CAST(json_extract(props, '$.k') AS BIGINT)
+                        BETWEEN 10 AND 80) AS passed
+            FROM events
+        """,
+        # NaN / -Infinity docs are parse failures (passed = false, not
+        # NULL and never a comparable NaN); others follow PROPS_SCHEMA
+        "nan_strict_verdicts": """
+            SELECT event_id,
+                   CASE WHEN event_id % 11 = 0 OR event_id % 13 = 0
+                        THEN false
+                        ELSE (json_type(props, '$.k') IN ('UBIGINT','BIGINT')
+                              AND CAST(json_extract(props, '$.k') AS BIGINT)
+                                  BETWEEN 0 AND 50
+                              AND len(list_filter(json_keys(props),
+                                                  k -> k <> 'k')) = 0)
+                   END AS passed
             FROM events
         """,
         # custom format (length<=5) + custom keyword (divisible by 3)

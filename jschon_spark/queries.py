@@ -655,6 +655,73 @@ def local_source_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def remote_source_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$ref resolution over HTTP behind the oracle gate: a live
+    localhost server (stdlib http.server, driver-side, compile-time
+    only — executors never fetch) serves the bounds schema, routed by
+    URI prefix through RemoteSource; the oracle replays the final
+    constraint. Complements local_source_verdicts so both source
+    routings are value-verified end-to-end."""
+    import http.server
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import threading
+
+    tmp = tempfile.mkdtemp(prefix="jss_remotesrc_")
+    try:
+        with open(os.path.join(tmp, "rlimits.json"), "w", encoding="utf-8") as f:
+            _json.dump({"type": "integer", "minimum": 10, "maximum": 80}, f)
+
+        def handler(*a, **kw):
+            h = http.server.SimpleHTTPRequestHandler(*a, directory=tmp, **kw)
+            return h
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            port = srv.server_address[1]
+            eng = ConstraintEngine()
+            eng.catalog.add_remote_source(
+                "https://rschemas.test/", f"http://127.0.0.1:{port}/",
+                suffix=".json",
+            )
+            schema = {
+                "$id": "https://rschemas.test/base",
+                "type": "object", "required": ["k"],
+                "properties": {"k": {"$ref": "rlimits"}},
+            }
+            compiled = eng.compile(schema)
+            ev = _fan_out(load(spark, sf_dir, "events"))
+            out = compiled.apply_json(ev, "props")
+            return out.select("event_id", "passed")
+        finally:
+            srv.shutdown()
+            srv.server_close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def nan_strict_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN/Infinity-strict parsing behind the oracle gate: every 11th
+    event's props is rewritten to carry a bare NaN (and every 13th an
+    Infinity) — not valid JSON, which the reference rejects at parse
+    (jschon/utils.py json_loads with parse_constant). The variant path
+    must yield passed=false (parse failure), never a NaN that leaks
+    into comparisons."""
+    ev = _fan_out(load(spark, sf_dir, "events"))
+    doc = (
+        F.when(F.col("event_id") % 11 == 0, F.lit('{"k": NaN}'))
+        .when(F.col("event_id") % 13 == 0, F.lit('{"k": -Infinity}'))
+        .otherwise(F.col("props"))
+    )
+    j = ev.select("event_id", doc.alias("j"))
+    eng = ConstraintEngine()
+    out = eng.compile(PROPS_SCHEMA).apply_json(j, "j")
+    return out.select("event_id", "passed")
+
+
 def custom_registry_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-registry surface behind the oracle gate (round 4 — closes a
     pytest-only row): a custom FORMAT (x-short-tag, length <= 5) and a
