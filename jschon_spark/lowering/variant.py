@@ -205,7 +205,9 @@ class VariantLowerer:
             "maxItems", "minItems", "prefixItems", "items",
             "contains", "maxContains", "minContains",
             "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
-            "$defs", "$id", "$schema", "$ref",
+            # $anchor is evaluation-inert: registration happened in
+            # the catalog at compile; only the URI machinery reads it
+            "$defs", "$id", "$schema", "$ref", "$anchor",
         }
         if self.dialect == "2019-09":
             unsupported -= {"additionalItems"}

@@ -70,7 +70,7 @@ def _rand_schema(rng: random.Random, depth: int = 2) -> dict:
         "pattern", "required", "properties", "items_u", "prefixItems",
         "contains", "uniqueItems", "n_items", "n_props", "propertyNames",
         "dependentRequired", "patternProperties", "additionalProperties",
-        "combinator", "not", "ifthen", "unevaluatedProps",
+        "combinator", "not", "ifthen", "unevaluatedProps", "ref",
     ]
     for kw in rng.sample(pool, n_kw):
         if kw == "type":
@@ -154,6 +154,18 @@ def _rand_schema(rng: random.Random, depth: int = 2) -> dict:
             schema["unevaluatedProperties"] = rng.choice(
                 [True, False, _rand_schema(rng, depth - 1)]
             )
+        elif kw == "ref" and depth > 0:
+            # a $defs member reached by $anchor (anchors are
+            # RESOURCE-scoped, so they resolve from nested positions
+            # where a "#/$defs/t" pointer would not — pointer fragments
+            # resolve against the resource root; the fuzzer generated
+            # exactly that broken shape before this comment existed).
+            # Unique names avoid duplicate-anchor registration.
+            target = _rand_schema(rng, depth - 1)
+            anchor = f"fz{rng.randrange(1 << 30)}"
+            target["$anchor"] = anchor
+            schema["$defs"] = {"t": target}
+            schema["$ref"] = f"#{anchor}"
         elif kw == "ifthen" and depth > 0:
             schema["if"] = _rand_schema(rng, depth - 1)
             if rng.random() < 0.7:
