@@ -306,3 +306,53 @@ def test_typed_matches_evaluator_seeded_population(spark):
         assert n_lowered >= 10, f"only {n_lowered} schemas lowered"
     finally:
         _KEYS[:] = keys_save
+
+
+# ---- Spark-side: map-typed object path vs evaluator (seeded) ----------
+
+def test_map_typed_matches_evaluator_seeded_population(spark):
+    """String-keyed MAP columns are the dynamic-object typed mode (the
+    north rule's props-style bags): the same grammar over a
+    map<string,bigint> column must agree with the evaluator."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    vals = [0, 1, -1, 5, 2 ** 53 + 1, None]
+    rows = []
+    for _ in range(40):
+        rows.append((
+            {rng.choice(["a", "b", "c", "k", "x1", "Big"]): rng.choice(vals)
+             for _ in range(rng.randrange(4))},
+        ))
+    df = spark.createDataFrame(rows, "m map<string,bigint>").cache()
+    eng = ConstraintEngine()
+    ev = Evaluator()
+    n_lowered = 0
+    for s_i in range(25):
+        schema = {"properties": {"m": _rand_schema(random.Random(777000 + s_i),
+                                                   depth=2)}}
+        compiled = eng.compile(dict(schema), validate_schema=False)
+        try:
+            compiled.lower_columns(df.schema, F.struct(*df.columns))
+        except CannotLower:
+            continue
+        n_lowered += 1
+        got = [
+            (r.passed,
+             sorted((x.keyword, x.instance_path) for x in r.violations)
+             if r.passed is False else [])
+            for r in compiled.apply_typed(df).select("passed", "violations").collect()
+        ]
+        for (m,), (gp, gv) in zip(rows, got):
+            inst = {"m": dict(m)}
+            o = ev.validate(schema, inst)
+            assert gp == o.valid, (
+                f"schema={json.dumps(schema)} inst={inst}: "
+                f"typed={gp} ev={o.valid}"
+            )
+            if gp is False:
+                want = sorted((e.keyword, e.instance_path) for e in o.errors)
+                assert gv == want, (
+                    f"schema={json.dumps(schema)} inst={inst}: {gv} != {want}"
+                )
+    assert n_lowered >= 8, f"only {n_lowered} schemas lowered"
