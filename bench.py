@@ -138,7 +138,7 @@ def main() -> None:
     timings["corpus_full_pass"] = round(corpus_sec, 4)
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
-    out = {
+    full = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
@@ -152,12 +152,62 @@ def main() -> None:
             "corpus_full_pass": "best-of-4 consecutive, rep 1 absorbs "
             "Janino compile",
         },
+        "steady_median_excludes": {
+            "streaming_dedup_firstseen": "4 SEQUENTIAL micro-batch "
+            "round-trips through a file source + checkpoint dir by "
+            "construction — harness shape dominates its wall time, so "
+            "it is the dominant variance term; exclude it from "
+            "round-over-round steady medians"
+        },
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "docs_per_sec": round(n_pages / corpus_sec, 1),
         "corpus_rows": n_pages,
         "cpus": cpus,
     }
-    print(json.dumps(out))
+    # The driver harness captures only the LAST ~2000 bytes of stdout
+    # and parses the final line: the full object (above ~3 KB at 48
+    # queries) overflowed that window in round 4 ("parsed": null).
+    # Emit tail-safely: write the full object to a committed artifact
+    # file, print it first (complete in full logs, harmlessly truncated
+    # in the tail), and make the FINAL line a compact <2000-byte object
+    # carrying the headline plus the per-query steady numbers (the
+    # round-over-round comparable placement).
+    full_path = os.environ.get(
+        "BENCH_FULL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local_latest.json"),
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:
+        print(f"# bench: could not write {full_path}: {e}", file=sys.stderr)
+    print(json.dumps(full))
+    compact = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": full["sf"],
+        "docs_per_sec": full["docs_per_sec"],
+        "corpus_rows": n_pages,
+        "cpus": cpus,
+        "queries": {
+            **{k: round(v, 2) for k, v in steady.items()},
+            "corpus_full_pass": timings["corpus_full_pass"],
+        },
+        "placement": "steady (best-of-2 consecutive); interleaved dict "
+        "in full_artifact",
+        "steady_median_excludes": ["streaming_dedup_firstseen"],
+        "full_artifact": full_path,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # hard tail-capture guard: drop per-query dict
+        compact["queries"] = {"corpus_full_pass": steady.get(
+            "corpus_full_pass", timings["corpus_full_pass"])}
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line)
 
 
 if __name__ == "__main__":

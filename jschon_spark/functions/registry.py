@@ -68,3 +68,15 @@ def custom_keyword(
         return fn
 
     return deco
+
+
+def unregister_format(name: str) -> None:
+    """Remove a registered format (no-op if absent). Safe once the
+    schemas using it are compiled: Column forms are baked into the
+    plan at compile time."""
+    FORMAT_REGISTRY.pop(name, None)
+
+
+def unregister_keyword(name: str) -> None:
+    """Remove a registered custom keyword (no-op if absent)."""
+    KEYWORD_REGISTRY.pop(name, None)

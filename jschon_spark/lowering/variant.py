@@ -27,7 +27,11 @@ over. Violations match the batch evaluator's
 
 Number comparisons are exact through the tiered decimal(38,18)
 strategy wherever both sides are representable (see ``_num_pred``);
-outside that window the double compare is verdict-exact.
+for tiny float bounds (finer than 1e-18) both this path and the batch
+evaluator round docs through double, so the double compare stays
+verdict-exact, while big-magnitude float bounds (|b| >= 1e20, where
+docs can carry exact >2^53 DECIMAL integers) raise CannotLower and
+take the exact batch path.
 """
 
 from __future__ import annotations
@@ -86,6 +90,20 @@ class VariantLowerer:
         dval = F.try_variant_get(v, "$", "double")
         dbl = op(dval, F.lit(float(bound)))
         if isinstance(bound, float) and not dec18_exact(bound):
+            import decimal as _dec
+
+            d = _dec.Decimal(repr(bound))
+            if not d.is_finite() or abs(d) >= _dec.Decimal(10) ** 20:
+                # big-magnitude float bound: variant docs can carry
+                # exact >2^53 integers as DECIMAL(38,0) (e.g. doc
+                # 10^20+1 vs exclusiveMinimum 1e20) and a double-only
+                # compare rounds them onto the bound — the batch
+                # evaluator's exact int-vs-float compare is the only
+                # faithful path
+                raise CannotLower("float bound beyond decimal(38,18) -> batch")
+            # tiny bounds (< 1e-18 resolution): both the variant and
+            # the batch path round such docs through double, so the
+            # double compare is verdict-exact here
             return dbl
         decval = F.try_variant_get(v, "$", "decimal(38,18)")
         b_dec = F.lit(bound).cast("decimal(38,18)")
@@ -153,7 +171,12 @@ class VariantLowerer:
         # the 2019-09 tuple-items/additionalItems forms below; nested
         # $schema switches raise CannotLower -> batch
         s = schema.get("$schema") if isinstance(schema, dict) else None
-        self.dialect = "2019-09" if (s and "2019-09" in s) else "2020-12"
+        # non-string $schema is ignored, mirroring the evaluator's
+        # isinstance gate (a TypeError here would crash compile instead
+        # of falling back to batch)
+        self.dialect = (
+            "2019-09" if (isinstance(s, str) and "2019-09" in s) else "2020-12"
+        )
         valid, viols = self._lower_value(schema, v, doc, F.lit(""), "", base_uri)
         parse_fail = doc.isNotNull() & v.isNull()
         passed = F.when(doc.isNull(), F.lit(None).cast("boolean")).otherwise(
@@ -189,7 +212,7 @@ class VariantLowerer:
         if not isinstance(schema, dict):
             raise CannotLower("schema must be bool or object")
 
-        if "$schema" in schema:
+        if isinstance(schema.get("$schema"), str):
             sub_d = "2019-09" if "2019-09" in schema["$schema"] else "2020-12"
             if sub_d != self.dialect:
                 raise CannotLower("nested dialect switch -> batch")
@@ -432,10 +455,13 @@ class VariantLowerer:
                 all_ok = present[0][1]
                 for _, p in present[1:]:
                     all_ok = all_ok & p
-                missing = F.concat_ws(
-                    ", ",
-                    *[F.when(p, F.lit(None)).otherwise(F.lit(r))
-                      for r, p in present],
+                missing = F.substring(
+                    F.concat_ws(
+                        ", ",
+                        *[F.when(p, F.lit(None)).otherwise(F.lit(r))
+                          for r, p in present],
+                    ),
+                    1, 256,
                 )
                 pred = F.when(is_obj, all_ok).otherwise(F.lit(True))
                 add(*_check(pred, "required", ipath, kpath, missing,
@@ -607,10 +633,10 @@ class VariantLowerer:
                                 F.lit(""), "", base_uri)
                             m = m & F.coalesce(ok_n, F.lit(False))
                         cond = cond & ~m
-                    for name in covered:
-                        if name not in props:  # names covered elsewhere
-                            name_match = name_match | (e["key"] == F.lit(name))
-                            cond = cond & (e["key"] != F.lit(name))
+                    # invariant: `covered` holds exactly the keys of
+                    # schema["properties"] (populated at the properties
+                    # loop above), already handled by the loop over
+                    # `props` — no separate pass needed
                     for pat in pats:
                         m = e["key"].rlike(pat)
                         name_match = name_match | m

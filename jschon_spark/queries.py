@@ -734,14 +734,18 @@ def custom_registry_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         KEYWORD_REGISTRY,
         custom_keyword,
         format_validator,
+        unregister_format,
+        unregister_keyword,
     )
 
-    if "x-short-tag" not in FORMAT_REGISTRY:
+    reg_fmt = "x-short-tag" not in FORMAT_REGISTRY
+    if reg_fmt:
         @format_validator("x-short-tag", column_fn=lambda c: F.length(c) <= 5)
         def _short_tag(v) -> bool:
             return not isinstance(v, str) or len(v) <= 5
 
-    if "x-divisibleBy" not in KEYWORD_REGISTRY:
+    reg_kw = "x-divisibleBy" not in KEYWORD_REGISTRY
+    if reg_kw:
         @custom_keyword(
             "x-divisibleBy", instance_types=("integer", "number"),
             column_fn=lambda d, col, dtype: col % F.lit(d) == 0,
@@ -750,16 +754,27 @@ def custom_registry_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _div_by(d):
             return lambda v: (v % d) == 0
 
-    ev = _fan_out(load(spark, sf_dir, "events")).select("event_id", "event_type")
-    eng = ConstraintEngine(assert_formats=True)
-    schema = {
-        "type": "object",
-        "properties": {
-            "event_type": {"type": "string", "format": "x-short-tag"},
-            "event_id": {"x-divisibleBy": 3},
-        },
-    }
-    return eng.compile(schema).apply_typed(ev).select("event_id", "passed")
+    try:
+        ev = _fan_out(load(spark, sf_dir, "events")).select(
+            "event_id", "event_type"
+        )
+        eng = ConstraintEngine(assert_formats=True)
+        schema = {
+            "type": "object",
+            "properties": {
+                "event_type": {"type": "string", "format": "x-short-tag"},
+                "event_id": {"x-divisibleBy": 3},
+            },
+        }
+        return eng.compile(schema).apply_typed(ev).select("event_id", "passed")
+    finally:
+        # side-effect-free: the compiled plan carries the baked Column
+        # expressions, so the process-global registries are restored
+        # before the DataFrame is even returned
+        if reg_fmt:
+            unregister_format("x-short-tag")
+        if reg_kw:
+            unregister_keyword("x-divisibleBy")
 
 
 def streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -291,3 +291,23 @@ def test_basic_with_annotations_for_valid(spark):
     assert {(r.keyword, r.keywordLocation) for r in rows} == {
         ("title", "/title"), ("description", "/properties/a/description")
     }
+
+
+def test_custom_registry_query_is_side_effect_free(spark):
+    """VERDICT r4 #8: custom_registry_verdicts must unregister its
+    custom format/keyword in a finally block — the process-global
+    registries are clean after the query builds (the compiled plan
+    carries the baked Column expressions), and the result still
+    executes correctly."""
+    from jschon_spark.functions.registry import FORMAT_REGISTRY, KEYWORD_REGISTRY
+    from jschon_spark.queries import custom_registry_verdicts
+
+    assert "x-short-tag" not in FORMAT_REGISTRY
+    assert "x-divisibleBy" not in KEYWORD_REGISTRY
+    df = custom_registry_verdicts(spark, "/root/testdata/sf0.001")
+    assert "x-short-tag" not in FORMAT_REGISTRY
+    assert "x-divisibleBy" not in KEYWORD_REGISTRY
+    rows = df.collect()  # plan executes AFTER unregistration
+    assert len(rows) > 0
+    assert any(r.passed is False for r in rows)
+    assert any(r.passed is True for r in rows)

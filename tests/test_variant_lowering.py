@@ -303,3 +303,61 @@ def test_variant_random_schema_sweep(spark, docs_df):
         ]
         assert got == want, f"schema={schema}"
     assert lowered >= 20, f"only {lowered} schemas lowered — generator too narrow"
+
+
+def test_big_float_bound_falls_back_to_exact_batch(spark):
+    """ADVICE r5: a float bound with |b| >= 1e20 must NOT take the
+    double-only variant compare — a doc like 10^20+1 is an exact
+    DECIMAL on the variant path (exact int in batch) and the double
+    extraction rounds it onto the bound. The lowerer raises
+    CannotLower and the engine's batch fallback yields the exact
+    verdict."""
+    docs = spark.createDataFrame(
+        [('{"k": 100000000000000000001}',),
+         ('{"k": 100000000000000000000}',),
+         ('{"k": 99999999999999999999}',),
+         ('{"k": 1e20}',)],
+        "doc string",
+    )
+    schema = {"properties": {"k": {"exclusiveMinimum": 1e20}}}
+    eng = ConstraintEngine()
+    compiled = eng.compile(schema)
+    with pytest.raises(CannotLower):
+        validate_json_column_variant(
+            docs, "doc", compiled.schema, compiled.catalog
+        )
+    got = {r.doc: r.passed for r in compiled.apply_json(docs, "doc").collect()}
+    assert got['{"k": 100000000000000000001}'] is True
+    assert got['{"k": 100000000000000000000}'] is False  # equals the bound
+    assert got['{"k": 99999999999999999999}'] is False
+    assert got['{"k": 1e20}'] is False
+
+
+def test_non_string_schema_keyword_tolerated(spark, docs_df):
+    """ADVICE r5: {"$schema": 5} must not raise TypeError at compile —
+    the lowerer now ignores non-string $schema exactly like the
+    evaluator's isinstance gate, so verdicts match the batch path."""
+    schema = {"$schema": 5, "type": "integer"}
+    eng = ConstraintEngine()
+    compiled = eng.compile(dict(schema), validate_schema=False)
+    var = validate_json_column_variant(
+        docs_df, "doc", compiled.schema, compiled.catalog,
+        base_uri=compiled.base_uri,
+    )
+    batch = compiled.apply_json(docs_df, "doc", prefer_variant=False)
+    vmap = {r.doc: r.passed for r in var.collect()}
+    bmap = {r.doc: r.passed for r in batch.collect()}
+    assert vmap == bmap
+    assert vmap["17"] is True and vmap['"plain"'] is False
+
+    nested = {"properties": {"k": {"$schema": 7, "type": "integer"}}}
+    compiled2 = eng.compile(dict(nested), validate_schema=False)
+    var2 = validate_json_column_variant(
+        docs_df, "doc", compiled2.schema, compiled2.catalog,
+        base_uri=compiled2.base_uri,
+    )
+    batch2 = compiled2.apply_json(docs_df, "doc", prefer_variant=False)
+    assert (
+        {r.doc: r.passed for r in var2.collect()}
+        == {r.doc: r.passed for r in batch2.collect()}
+    )
