@@ -235,6 +235,12 @@ class Outcome:
     # as concrete indices — we always enumerate the actual instance)
     evaluated_props: set = field(default_factory=set)
     evaluated_items: set = field(default_factory=set)
+    # indices matched by `contains`, kept SEPARATE from evaluated_items:
+    # 2020-12 unevaluatedItems counts them as evaluated, but the
+    # 2019-09 form collects only items/additionalItems/unevaluatedItems
+    # annotations (reference legacy.py:115-147 — contains matches stay
+    # unevaluated under 2019-09)
+    contains_items: set = field(default_factory=set)
 
 
 _IN_PLACE = ("$ref", "$dynamicRef", "allOf", "anyOf", "oneOf",
@@ -354,6 +360,7 @@ class Evaluator:
             if o.valid:
                 out.evaluated_props |= o.evaluated_props
                 out.evaluated_items |= o.evaluated_items
+                out.contains_items |= o.contains_items
 
         # ---- $ref / $dynamicRef (in-place, annotations pass through) ---
         if "$ref" in schema:
@@ -541,7 +548,7 @@ class Evaluator:
                 o = sub(schema["contains"], item, "contains", f"/{i}")
                 if o.valid:
                     matched.append(i)
-                    out.evaluated_items.add(i)
+                    out.contains_items.add(i)
             contains_count = len(matched)
             min_c = schema.get("minContains", 1)
             if contains_count == 0 and min_c > 0:
@@ -675,8 +682,17 @@ class Evaluator:
 
         # ---- unevaluated* (depend on every sibling's annotations) --------
         if "unevaluatedItems" in schema and jt == "array":
+            # 2020-12/next: contains-matched items count as evaluated;
+            # 2019-09 collects only items/additionalItems/
+            # unevaluatedItems annotations (legacy.py:115-147), so
+            # contains matches stay unevaluated there
+            covered = (
+                out.evaluated_items
+                if dialect == "2019-09"
+                else out.evaluated_items | out.contains_items
+            )
             for i in range(len(instance)):
-                if i in out.evaluated_items:
+                if i in covered:
                     continue
                 o = sub(schema["unevaluatedItems"], instance[i], "unevaluatedItems", f"/{i}")
                 if o.valid:
@@ -702,4 +718,5 @@ class Evaluator:
         if not out.valid:
             out.evaluated_props = set()
             out.evaluated_items = set()
+            out.contains_items = set()
         return out

@@ -62,7 +62,18 @@ def _rand_doc(rng: random.Random, depth: int = 2):
     }
 
 
-def _rand_schema(rng: random.Random, depth: int = 2) -> dict:
+def _rand_schema(
+    rng: random.Random,
+    depth: int = 2,
+    dialect: str = "2020-12",
+    extended: bool = False,
+) -> dict:
+    """Bounded random schema. ``dialect`` swaps the array-keyword
+    surface (2019-09 tuple ``items``/``additionalItems`` instead of
+    ``prefixItems``) and the dynamic-ref form ($recursiveRef vs
+    $dynamicRef). ``extended`` adds the unevaluatedItems and
+    dynamic-ref productions — kept OUT of the default pool so the
+    pre-existing seeded populations keep their lowering rates."""
     schema: dict = {}
     n_kw = rng.randrange(1, 4)
     pool = [
@@ -72,6 +83,12 @@ def _rand_schema(rng: random.Random, depth: int = 2) -> dict:
         "dependentRequired", "patternProperties", "additionalProperties",
         "combinator", "not", "ifthen", "unevaluatedProps", "ref",
     ]
+    if extended:
+        pool += ["unevaluatedItems", "dynref"]
+
+    def sub() -> dict:
+        return _rand_schema(rng, depth - 1, dialect, extended)
+
     for kw in rng.sample(pool, n_kw):
         if kw == "type":
             ts = rng.sample(
@@ -105,18 +122,23 @@ def _rand_schema(rng: random.Random, depth: int = 2) -> dict:
             schema["required"] = rng.sample(_KEYS, rng.randrange(1, 3))
         elif kw == "properties" and depth > 0:
             schema["properties"] = {
-                k: _rand_schema(rng, depth - 1)
-                for k in rng.sample(_KEYS, rng.randrange(1, 3))
+                k: sub() for k in rng.sample(_KEYS, rng.randrange(1, 3))
             }
         elif kw == "items_u" and depth > 0:
-            schema["items"] = _rand_schema(rng, depth - 1)
+            schema["items"] = sub()
         elif kw == "prefixItems" and depth > 0:
-            schema["prefixItems"] = [
-                _rand_schema(rng, depth - 1)
-                for _ in range(rng.randrange(1, 3))
-            ]
+            subs = [sub() for _ in range(rng.randrange(1, 3))]
+            if dialect == "2019-09":
+                # 2019-09 tuple form; prefixItems is not a keyword there
+                schema["items"] = subs
+                if rng.random() < 0.5:
+                    schema["additionalItems"] = rng.choice(
+                        [True, False, sub()]
+                    )
+            else:
+                schema["prefixItems"] = subs
         elif kw == "contains" and depth > 0:
-            schema["contains"] = _rand_schema(rng, depth - 1)
+            schema["contains"] = sub()
             if rng.random() < 0.5:
                 schema["minContains"] = rng.randrange(3)
             if rng.random() < 0.3:
@@ -135,25 +157,37 @@ def _rand_schema(rng: random.Random, depth: int = 2) -> dict:
             }
         elif kw == "patternProperties" and depth > 0:
             schema["patternProperties"] = {
-                rng.choice(_PATTERNS): rng.choice(
-                    [True, False, _rand_schema(rng, depth - 1)]
-                )
+                rng.choice(_PATTERNS): rng.choice([True, False, sub()])
             }
         elif kw == "additionalProperties" and depth > 0:
             schema["additionalProperties"] = rng.choice(
-                [True, False, _rand_schema(rng, depth - 1)]
+                [True, False, sub()]
             )
         elif kw == "combinator" and depth > 0:
             schema[rng.choice(["allOf", "anyOf", "oneOf"])] = [
-                _rand_schema(rng, depth - 1)
-                for _ in range(rng.randrange(1, 3))
+                sub() for _ in range(rng.randrange(1, 3))
             ]
         elif kw == "not" and depth > 0:
-            schema["not"] = _rand_schema(rng, depth - 1)
+            schema["not"] = sub()
         elif kw == "unevaluatedProps" and depth > 0:
             schema["unevaluatedProperties"] = rng.choice(
-                [True, False, _rand_schema(rng, depth - 1)]
+                [True, False, sub()]
             )
+        elif kw == "unevaluatedItems" and depth > 0:
+            schema["unevaluatedItems"] = rng.choice([True, False, sub()])
+        elif kw == "dynref" and depth > 0:
+            if dialect == "2019-09":
+                # $recursiveRef may only be "#" (resource root); placed
+                # under a property so recursion is bounded by doc depth
+                schema.setdefault("properties", {})[
+                    rng.choice(_KEYS)
+                ] = {"$recursiveRef": "#"}
+            else:
+                target = sub()
+                anchor = f"dz{rng.randrange(1 << 30)}"
+                target["$dynamicAnchor"] = anchor
+                schema.setdefault("$defs", {})[f"d_{anchor}"] = target
+                schema["$dynamicRef"] = f"#{anchor}"
         elif kw == "ref" and depth > 0:
             # a $defs member reached by $anchor (anchors are
             # RESOURCE-scoped, so they resolve from nested positions
@@ -161,17 +195,17 @@ def _rand_schema(rng: random.Random, depth: int = 2) -> dict:
             # resolve against the resource root; the fuzzer generated
             # exactly that broken shape before this comment existed).
             # Unique names avoid duplicate-anchor registration.
-            target = _rand_schema(rng, depth - 1)
+            target = sub()
             anchor = f"fz{rng.randrange(1 << 30)}"
             target["$anchor"] = anchor
-            schema["$defs"] = {"t": target}
+            schema.setdefault("$defs", {})["t"] = target
             schema["$ref"] = f"#{anchor}"
         elif kw == "ifthen" and depth > 0:
-            schema["if"] = _rand_schema(rng, depth - 1)
+            schema["if"] = sub()
             if rng.random() < 0.7:
-                schema["then"] = _rand_schema(rng, depth - 1)
+                schema["then"] = sub()
             if rng.random() < 0.5:
-                schema["else"] = _rand_schema(rng, depth - 1)
+                schema["else"] = sub()
     return schema
 
 
@@ -356,3 +390,82 @@ def test_map_typed_matches_evaluator_seeded_population(spark):
                     f"schema={json.dumps(schema)} inst={inst}: {gv} != {want}"
                 )
     assert n_lowered >= 8, f"only {n_lowered} schemas lowered"
+
+
+# ---- dialect matrix: 2019-09 and draft-next populations ----------------
+
+_DIALECT_URIS = {
+    "2019-09": "https://json-schema.org/draft/2019-09/schema",
+    "next": "https://json-schema.org/draft/next/schema",
+}
+
+
+@pytest.mark.parametrize("tag", ["2019-09", "next"])
+def test_dialect_matrix_seeded_population(spark, tag):
+    """Dialect-gated paths get a full randomized population (VERDICT r4
+    #3): 160 schemas per dialect under the EXTENDED grammar — 2019-09
+    tuple items/additionalItems/$recursiveRef and the legacy
+    unevaluatedItems-ignores-contains rule (reference legacy.py:115-147),
+    draft-next as 2020-12 semantics with $dynamicRef — cross-checked
+    driver-side (fastpath vs evaluator, every schema) and Spark-side
+    (variant lowering vs Arrow batch evaluator wherever the variant
+    subset lowers)."""
+    gen_dialect = "2019-09" if tag == "2019-09" else "2020-12"
+    uri = _DIALECT_URIS[tag]
+    docs = [json.dumps(_rand_doc(random.Random(5000 + i), depth=2))
+            for i in range(24)]
+    parsed = [json.loads(d) for d in docs]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string").cache()
+    eng = ConstraintEngine()
+    n_lowered = n_fast = 0
+    for s_i in range(160):
+        schema = _rand_schema(
+            random.Random(910_000 + s_i), depth=2,
+            dialect=gen_dialect, extended=True,
+        )
+        schema["$schema"] = uri
+        compiled = eng.compile(dict(schema), validate_schema=False)
+        ev = Evaluator(compiled.catalog)
+        want = [
+            ev._eval(compiled.schema, p, compiled.base_uri,
+                     [compiled.base_uri], "", "").valid
+            for p in parsed
+        ]
+        fast = compile_valid(
+            compiled.schema, compiled.catalog, compiled.base_uri,
+            False, ev.formats,
+        )
+        if fast is not None:
+            n_fast += 1
+            for p, w in zip(parsed, want):
+                got = bool(fast(p))
+                assert got == w, (
+                    f"[{tag}] schema={json.dumps(schema)} "
+                    f"doc={json.dumps(p)} fast={got} ev={w}"
+                )
+        try:
+            var = validate_json_column_variant(
+                df, "doc", compiled.schema, compiled.catalog,
+                base_uri=compiled.base_uri,
+            )
+        except CannotLower:
+            continue
+        n_lowered += 1
+        batch = compiled.apply_json(df, "doc", prefer_variant=False)
+        vmap = {r.doc: r for r in var.select("doc", "passed", "violations").collect()}
+        bmap = {r.doc: r for r in batch.select("doc", "passed", "violations").collect()}
+        for d in docs:
+            v, b = vmap[d], bmap[d]
+            assert v.passed == b.passed, (
+                f"[{tag}] schema={json.dumps(schema)} doc={d}: "
+                f"variant={v.passed} batch={b.passed}"
+            )
+            if v.passed is False:
+                vk = sorted((x.keyword, x.instance_path) for x in v.violations)
+                bk = sorted((x.keyword, x.instance_path) for x in b.violations)
+                assert vk == bk, (
+                    f"[{tag}] schema={json.dumps(schema)} doc={d}: {vk} != {bk}"
+                )
+    # the population must genuinely exercise both execution tiers
+    assert n_fast >= 40, f"only {n_fast} schemas fastpath-compiled"
+    assert n_lowered >= 25, f"only {n_lowered} schemas variant-lowered"
