@@ -1,9 +1,10 @@
-"""Real stdlib media decode over binary columns (round-4 feature).
+"""Real stdlib media decode over binary columns.
 
-PNG pixels are zlib-inflated and unfiltered scanline-by-scanline; WAV
-PCM is struct-parsed — no codec libraries. ``media_features`` runs the
-same decoders distributed through ``mapInPandas`` (Arrow batches), and
-containers that genuinely need codecs (JPEG/GIF pixels) come back
+PNG pixels are zlib-inflated and unfiltered scanline-by-scanline; GIF
+pixels are LZW-decoded with palette lookup (round 5); WAV PCM is
+struct-parsed — no codec libraries. ``media_features`` runs the same
+decoders distributed through ``mapInPandas`` (Arrow batches), and
+containers that genuinely need codecs (JPEG pixels) come back
 ``decode_ok=False`` rather than a fabricated feature.
 """
 
@@ -12,6 +13,7 @@ import zlib
 
 from jschon_spark import get_spark
 from jschon_spark.operators.multimodal import (
+    decode_gif_stats,
     decode_png_stats,
     decode_wav_stats,
     media_features,
@@ -41,17 +43,23 @@ def tiny_wav(seconds: float, rate: int = 8000, amp: int = 2000) -> bytes:
 
 png = tiny_png(8, 4, (200, 100, 0))
 wav = tiny_wav(1.5)
+# hand-verified 1x1 white GIF (2-entry global palette, LZW min code 2)
+gif = (b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+       b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;")
 
 s = decode_png_stats(png)
 print("png", s["width"], s["height"], s["channels"],
       [round(m, 1) for m in s["mean"]], [round(d, 1) for d in s["std"]])
+g = decode_gif_stats(gif)
+print("gif", g["width"], g["height"], g["channels"],
+      [round(m, 1) for m in g["mean"]], g["px_min"], g["px_max"])
 a = decode_wav_stats(wav)
 print("wav", a["rate"], a["channels"], round(a["duration_sec"], 3),
       round(a["rms"], 6), round(a["peak"], 6))
 
 spark = get_spark(cores=4)
 df = spark.createDataFrame(
-    [(1, png), (2, wav), (3, b"\xff\xd8\xffnot-decodable-jpeg")],
+    [(1, png), (2, wav), (3, b"\xff\xd8\xffnot-decodable-jpeg"), (4, gif)],
     "id long, payload binary",
 )
 for r in sorted(media_features(df, "payload", decode_stub=False).collect(),

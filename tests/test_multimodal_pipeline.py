@@ -168,29 +168,40 @@ def test_wav_decode_golden_square_wave():
 
 
 def test_media_features_real_decode_distributed(spark):
-    """media_features(decode_stub=False) over a mixed batch: PNG/WAV
-    rows carry real stats in the feature vector, JPEG/GIF/None rows are
+    """media_features(decode_stub=False) over a mixed batch: PNG/GIF/
+    WAV rows carry real stats in the feature vector, JPEG/None rows are
     decode_ok=False — same mapInPandas plumbing as the stub path."""
+    gif = _encode_gif([1] * 6, 3, 2, [(0, 0, 0), (40, 80, 120)])
     rows = [
         (1, _encode_png([100] * (4 * 3 * 3), 4, 3, 3, [0, 1, 2, 3, 4])),
         (2, _tiny_wav(2.0)),
         (3, _tiny_jpeg(8, 8)),
         (4, None),
+        (5, gif),
     ]
     df = spark.createDataFrame(rows, "id long, payload binary")
-    got = {r.n_bytes: r for r in
+    import hashlib as _hl
+
+    def key(payload):  # n_bytes collides (the GIF and JPEG are both 35)
+        return _hl.sha256(payload).hexdigest()
+
+    got = {r.media_sha256: r for r in
            media_features(df, "payload", decode_stub=False).collect()}
-    png = got[len(rows[0][1])]
+    png = got[key(rows[0][1])]
     assert png.decode_ok and len(png.feature) == 16
     assert png.feature[:3] == [4.0, 3.0, 3.0]          # w, h, channels
     assert abs(png.feature[3] - 100 / 255.0) < 1e-6    # mean ch0
     assert abs(png.feature[7]) < 1e-6                  # std ch0 (flat)
-    wav = got[len(rows[1][1])]
+    wav = got[key(rows[1][1])]
     assert wav.decode_ok
     assert abs(wav.feature[0] - 2.0) < 1e-6            # duration
     assert wav.feature[1] == 8000.0 and wav.feature[2] == 1.0
-    jpg = got[len(rows[2][1])]
+    jpg = got[key(rows[2][1])]
     assert jpg.decode_ok is False and jpg.feature is None
+    g = got[key(gif)]
+    assert g.decode_ok and g.feature[:3] == [3.0, 2.0, 3.0]
+    assert abs(g.feature[3] - 40 / 255.0) < 1e-6       # mean R (flat)
+    assert abs(g.feature[4] - 80 / 255.0) < 1e-6       # mean G
 
 
 def test_frame_sample_plan(spark):
@@ -316,3 +327,154 @@ def test_media_probe_real_headers(spark):
     assert abs(wav.duration_sec - 2.5) < 1e-9 and wav.probe_ok
     unknown = by_type[None]
     assert any(r.probe_ok is False for r in unknown)
+
+
+def _encode_gif(indices, w, h, palette, interlace=False):
+    """Minimal stdlib GIF89a encoder with its own variable-width LZW
+    encoder (dict-based string table — independent of the decoder's
+    list-based table building). ``palette`` is [(r,g,b), ...]."""
+    import struct
+
+    bits = max(1, (max(2, len(palette)) - 1).bit_length())
+    size = 1 << bits
+    mcs = max(2, bits)
+    clear = 1 << mcs
+    end = clear + 1
+
+    bitstream = bytearray()
+    acc = 0
+    nacc = 0
+    code_size = mcs + 1
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += code_size
+        while nacc >= 8:
+            bitstream.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    # mirror the decoder's width growth: its table length after the
+    # k-th emitted code (k>=2) is clear+2+(k-1); width grows when that
+    # hits 2^code_size
+    decoder_len = clear + 2
+    emitted = 0
+    prev = b""
+    for i in indices:
+        cur = prev + bytes([i])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        emitted += 1
+        if emitted >= 2:
+            decoder_len += 1
+            if decoder_len == (1 << code_size) and code_size < 12:
+                code_size += 1
+        table[cur] = next_code
+        next_code += 1
+        prev = bytes([i])
+    if prev:
+        emit(table[prev])
+        emitted += 1
+        if emitted >= 2:
+            decoder_len += 1
+            if decoder_len == (1 << code_size) and code_size < 12:
+                code_size += 1
+    emit(end)
+    if nacc:
+        bitstream.append(acc & 0xFF)
+
+    pal = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (
+        size - len(palette)
+    )
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HH", w, h)
+    out.append(0x80 | (bits - 1))  # global color table, 2^bits entries
+    out += b"\x00\x00" + pal
+    out += b"," + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0)
+    out.append(mcs)
+    for off in range(0, len(bitstream), 255):
+        chunk = bitstream[off:off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00;"
+    return bytes(out)
+
+
+def test_gif_decode_golden_roundtrip():
+    """Pixel-exact golden (round 5): random palette images through the
+    test encoder's independent LZW must decode to the exact per-channel
+    RGB stats of the source pixels, across palette sizes that force
+    code-width growth and multi-sub-block streams."""
+    import random
+    from jschon_spark.operators.multimodal import decode_gif_stats
+
+    for n_colors, w, h in ((4, 7, 5), (16, 23, 19), (200, 40, 33)):
+        rng = random.Random(n_colors)
+        palette = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(n_colors)
+        ]
+        idx = [rng.randrange(n_colors) for _ in range(w * h)]
+        s = decode_gif_stats(_encode_gif(idx, w, h, palette))
+        assert (s["width"], s["height"], s["channels"]) == (w, h, 3)
+        n = w * h
+        for c in range(3):
+            chan = [palette[i][c] for i in idx]
+            mean = sum(chan) / n
+            var = sum(x * x for x in chan) / n - mean * mean
+            assert abs(s["mean"][c] - mean) < 1e-9, (n_colors, c)
+            assert abs(s["std"][c] - var ** 0.5) < 1e-9, (n_colors, c)
+        assert s["px_min"] == min(min(palette[i]) for i in idx)
+        assert s["px_max"] == max(max(palette[i]) for i in idx)
+
+
+def test_gif_decode_known_bytes_and_variants():
+    """A hand-verified 1x1 white GIF literal decodes exactly; the
+    interlace flag is tolerated (stats are order-invariant); corrupt
+    LZW and missing color tables raise UnsupportedMedia."""
+    import pytest as _pytest
+
+    from jschon_spark.operators.multimodal import (
+        UnsupportedMedia, decode_gif_stats,
+    )
+
+    white_1x1 = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    s = decode_gif_stats(white_1x1)
+    assert (s["width"], s["height"]) == (1, 1)
+    assert s["mean"] == [255.0, 255.0, 255.0] and s["px_min"] == 255
+
+    inter = _encode_gif([0, 1, 2, 3] * 4, 4, 4,
+                        [(0, 0, 0), (50, 60, 70), (100, 110, 120),
+                         (200, 210, 220)], interlace=True)
+    s2 = decode_gif_stats(inter)
+    assert s2["width"] == 4 and abs(s2["mean"][0] - 87.5) < 1e-9
+
+    with _pytest.raises(UnsupportedMedia):
+        decode_gif_stats(b"GIF89a\x01\x00\x01\x00\x00\x00\x00"
+                         b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02"
+                         b"\x02D\x01\x00;")  # no color table anywhere
+    # first code after CLEAR beyond the table (code 7 with 6 entries):
+    # min_code=2, bits LSB-first: 100 (clear=4) then 111 -> byte 0x3C
+    bad_code = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x01\x3c\x00;"
+    )
+    with _pytest.raises(UnsupportedMedia):
+        decode_gif_stats(bad_code)
+    # stream ends before w*h pixels: widen the descriptor to 2x1 but
+    # keep the single-pixel LZW data
+    short = bytearray(white_1x1)
+    short[6] = 2   # logical screen width
+    short[24] = 2  # image descriptor width
+    with _pytest.raises(UnsupportedMedia):
+        decode_gif_stats(bytes(short))
