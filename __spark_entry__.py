@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch mode (round 3)
         "stats_quantiles": Q.stats_quantiles,
         "windowed_verdicts_events": Q.windowed_verdicts_events,
+        # watermark drop/keep over deterministic out-of-order batches
+        # (round 5)
+        "streaming_late_data_verdicts": Q.streaming_late_data_verdicts,
         # pinned html→text extractor through the Arrow UDF (round 3)
         "extract_text_goldens": Q.extract_text_goldens,
     }
@@ -520,6 +523,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN ok IS FALSE THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_failed,
                    (coalesce(sum(CASE WHEN ok IS FALSE THEN 1 ELSE 0 END), 0) = 0) AS passed
             FROM v GROUP BY 1
+        """,
+        # the watermark drop/keep decision replayed exactly. Spark's
+        # micro-batch engine evicts a window's state at the END of the
+        # batch in which the watermark (computed from the PREVIOUS
+        # batch's max event time - delay) passes the window end — so
+        # late rows merging into the window DURING that same batch
+        # still count, and a row is dropped only when it arrives after
+        # the eviction: batch-b rows drop iff window_end <=
+        # max(event time over batches <= b-2) - delay. Here only
+        # batch-2 rows in windows ending before max(batch 0) - 2h
+        # (= 01:10) drop; the sentinel batch-3 window never closes and
+        # so never appears. All comparisons are equality-free by
+        # construction (whole-hour window ends vs :10/:20/:40
+        # watermarks).
+        "streaming_late_data_verdicts": """
+            WITH ev AS (
+              SELECT event_id % 3 AS b,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL (CASE event_id % 3
+                           WHEN 0 THEN (event_id // 3) % 4
+                           WHEN 1 THEN (event_id // 3) % 7
+                           ELSE (event_id // 3) % 9 END) HOUR
+                       + INTERVAL (CASE event_id % 3
+                           WHEN 0 THEN 10 WHEN 1 THEN 20
+                           ELSE 40 END) MINUTE AS ts2,
+                     value
+              FROM events
+            ),
+            wm AS (
+              SELECT (SELECT max(ts2) FROM ev WHERE b = 0)
+                       - INTERVAL 2 HOUR AS wm1
+            ),
+            kept AS (
+              SELECT ev.* FROM ev, wm
+              WHERE b <= 1
+                 OR (b = 2 AND
+                     date_trunc('hour', ts2) + INTERVAL 1 HOUR > wm1)
+            )
+            SELECT date_trunc('hour', ts2) AS window_start,
+                   date_trunc('hour', ts2) + INTERVAL 1 HOUR AS window_end,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(CASE WHEN value > 200 THEN 1
+                                          ELSE 0 END), 0) AS BIGINT)
+                     AS n_failed,
+                   (coalesce(sum(CASE WHEN value > 200 THEN 1 ELSE 0 END),
+                             0) = 0) AS passed
+            FROM kept GROUP BY 1, 2
         """,
         # vals = [doc_id, n_chars]: items (integer >= 0) over both
         # elements; contains (>= 100) with minContains 0 / maxContains 1

@@ -157,7 +157,11 @@ def main() -> None:
             "round-trips through a file source + checkpoint dir by "
             "construction — harness shape dominates its wall time, so "
             "it is the dominant variance term; exclude it from "
-            "round-over-round steady medians"
+            "round-over-round steady medians",
+            "streaming_late_data_verdicts": "5 sequential micro-batches "
+            "(incl. the watermark-advance no-data batch) through a "
+            "file source + checkpoint dir — same harness-shape "
+            "variance as streaming_dedup_firstseen",
         },
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "docs_per_sec": round(n_pages / corpus_sec, 1),
@@ -198,7 +202,9 @@ def main() -> None:
         },
         "placement": "steady (best-of-2 consecutive); interleaved dict "
         "in full_artifact",
-        "steady_median_excludes": ["streaming_dedup_firstseen"],
+        "steady_median_excludes": [
+            "streaming_dedup_firstseen", "streaming_late_data_verdicts",
+        ],
         "full_artifact": full_path,
     }
     line = json.dumps(compact, separators=(",", ":"))

@@ -838,6 +838,113 @@ def streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "user_id bigint, n_first_batch bigint")
 
 
+def streaming_late_data_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark/late-data semantics behind the oracle gate (round 5 —
+    VERDICT r4 #6): events are replayed as four DETERMINISTIC
+    micro-batches whose event times go BACKWARD across batches, run
+    through a REAL Structured Streaming query — typed validation
+    (value <= 200) then ``windowed_verdicts`` (1h tumbling windows,
+    2h watermark, append mode) — so late rows landing in windows the
+    watermark has already closed are dropped by Spark's state
+    eviction. The DuckDB oracle replays the drop/keep decision
+    exactly, including the eviction timing this query MEASURED: the
+    engine evicts a window's state at the END of the batch in which
+    the watermark (max event time of the PREVIOUS batch - delay)
+    passes the window end, so late rows merging into the window during
+    that same batch still count, and a batch-b row drops iff
+    window_end <= max(event time over batches <= b-2) - delay (the
+    naive one-batch-lag model over-drops — batch-1 rows in the
+    [00:00, 01:00) window are KEPT because the window emits, with
+    them, at the end of batch 1). Construction keeps every comparison
+    equality-free (windows end on whole hours, watermarks at
+    :10/:20/:40) so <= vs < boundary conventions cannot flip a
+    verdict. A sentinel row two days ahead closes all real windows via
+    the no-data extra batch; its own window stays open and is never
+    emitted, matching the oracle's omission of it.
+
+    Batch/time assignment (event_id is contiguous, so every residue
+    class is populated at any sf): b = event_id %% 3; hour offset =
+    (event_id // 3) %% {4, 7, 9} for b = {0, 1, 2}; minutes {10, 20,
+    40}. Only batch-2 rows in windows ending before max(batch 0) - 2h
+    = 01:10 drop."""
+    import os
+    import shutil
+    import tempfile
+
+    from jschon_spark.streaming.validate import validate_stream, windowed_verdicts
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    b = F.pmod(F.col("event_id"), F.lit(3))
+    hours = (
+        F.when(b == 0, F.pmod(F.floor(F.col("event_id") / 3), F.lit(4)))
+        .when(b == 1, F.pmod(F.floor(F.col("event_id") / 3), F.lit(7)))
+        .otherwise(F.pmod(F.floor(F.col("event_id") / 3), F.lit(9)))
+    )
+    minutes = F.when(b == 0, 10).when(b == 1, 20).otherwise(40)
+    ts2 = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        hours=hours.cast("int"), mins=minutes.cast("int")
+    )
+    staged = ev.select(b.alias("b"), ts2.alias("ts2"), "value")
+    tmp = tempfile.mkdtemp(prefix="jss_stream_late_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
+    try:
+        for bi in range(3):
+            part_dir = os.path.join(tmp, f"b{bi}")
+            (
+                staged.filter(F.col("b") == bi).select("ts2", "value")
+                .coalesce(1).write.parquet(part_dir)
+            )
+            [part] = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            dst = os.path.join(src, f"batch_{bi}.parquet")
+            shutil.move(os.path.join(part_dir, part), dst)
+            os.utime(dst, (1_700_000_000 + bi, 1_700_000_000 + bi))
+        sentinel = spark.createDataFrame(
+            [("2024-01-03 00:00:30", 0.0)], "t string, value double"
+        ).select(F.to_timestamp("t").alias("ts2"), "value")
+        sdir = os.path.join(tmp, "b3")
+        sentinel.coalesce(1).write.parquet(sdir)
+        [part] = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        dst = os.path.join(src, "batch_3.parquet")
+        shutil.move(os.path.join(sdir, part), dst)
+        os.utime(dst, (1_700_000_003, 1_700_000_003))
+
+        stream = (
+            spark.readStream.schema("ts2 timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        eng = ConstraintEngine()
+        compiled = eng.compile(
+            {"properties": {"value": {"maximum": 200}}}
+        )
+        validated = validate_stream(compiled, stream)
+        q = (
+            windowed_verdicts(validated, ts_col="ts2", window="1 hour",
+                              watermark="2 hours")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("jss_late_verdicts")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT window_start, window_end, n_docs, n_failed, passed "
+                "FROM jss_late_verdicts"
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "window_start timestamp, window_end timestamp, "
+        "n_docs bigint, n_failed bigint, passed boolean",
+    )
+
+
 def stats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (p25/50/75/95) for three lineitem
     measures in one scan — the oracle-parity twin of the scale path's
