@@ -134,6 +134,10 @@ def _fmt_ipv4(v: str) -> bool:
 
 
 def _fmt_ipv6(v: str) -> bool:
+    # RFC 4291 textual form has no zone-ID suffix; Python's
+    # IPv6Address accepts "%zone" since 3.9, so gate it out explicitly
+    if "%" in v:
+        return False
     try:
         ipaddress.IPv6Address(v)
         return True
@@ -142,27 +146,45 @@ def _fmt_ipv6(v: str) -> bool:
 
 
 _DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+# RFC 3339 ranges (round 5): hour 00-23, minute 00-59, second 00-60
+# (60 = leap second, accepted at any offset — the pragmatic RFC
+# grammar; strictly it only occurs at 23:59:60 UTC), offset hour/min
+# range-checked too. Keep in sync with ColumnLowerer._FORMAT_REGEX.
 _TIME_RE = re.compile(
-    r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+    r"^([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
 )
 _DATETIME_RE = re.compile(
-    r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$"
+    r"^\d{4}-\d{2}-\d{2}[Tt]([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
 )
 _UUID_RE = re.compile(
     r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
 )
 
+_MDAYS = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _valid_ymd(v10: str) -> bool:
+    """Calendar validity of a 'YYYY-MM-DD' prefix. RFC 3339 allows
+    years 0000-9999 (proleptic Gregorian — year 0 IS a leap year), so
+    this is hand-rolled rather than date.fromisoformat (which rejects
+    year 0); matches Spark's try_to_timestamp on the Column side."""
+    y, m, d = int(v10[0:4]), int(v10[5:7]), int(v10[8:10])
+    if not 1 <= m <= 12:
+        return False
+    days = _MDAYS[m - 1]
+    if m == 2 and y % 4 == 0 and (y % 100 != 0 or y % 400 == 0):
+        days = 29
+    return 1 <= d <= days
+
 
 def _fmt_date(v: str) -> bool:
-    if not _DATE_RE.match(v):
-        return False
-    try:
-        import datetime
+    return bool(_DATE_RE.match(v)) and _valid_ymd(v)
 
-        datetime.date.fromisoformat(v)
-        return True
-    except ValueError:
-        return False
+
+def _fmt_datetime(v: str) -> bool:
+    return bool(_DATETIME_RE.match(v)) and _valid_ymd(v[:10])
 
 
 FORMAT_VALIDATORS: dict[str, tuple[Callable[[Any], bool], tuple[str, ...]]] = {
@@ -172,7 +194,7 @@ FORMAT_VALIDATORS: dict[str, tuple[Callable[[Any], bool], tuple[str, ...]]] = {
     "ipv6": (_fmt_ipv6, ("string",)),
     "date": (_fmt_date, ("string",)),
     "time": (lambda v: bool(_TIME_RE.match(v)), ("string",)),
-    "date-time": (lambda v: bool(_DATETIME_RE.match(v)), ("string",)),
+    "date-time": (_fmt_datetime, ("string",)),
     "uuid": (lambda v: bool(_UUID_RE.match(v)), ("string",)),
     "regex": (lambda v: _is_regex(v), ("string",)),
     # RFC 3986: a scheme, then only unreserved / reserved / %-encoded

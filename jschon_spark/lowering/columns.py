@@ -416,7 +416,12 @@ class ColumnLowerer:
                     )
                 )
             if "format" in schema and self.assert_formats:
-                fv, fw = self._lower_format(schema["format"], scol, ipath, kpath)
+                fv, fw = self._lower_format(
+                    schema["format"], scol, ipath, kpath,
+                    trusted_calendar=isinstance(
+                        dtype, (T.TimestampType, T.DateType)
+                    ),
+                )
                 add(gated(fv), F.when(col.isNull(), _EMPTY_ARR()).otherwise(fw))
 
         if json_t == "array":
@@ -1088,9 +1093,18 @@ class ColumnLowerer:
         re.compile(pattern)  # must at least be a valid Python regex
 
     _FORMAT_REGEX = {
-        "date-time": r"^\d{4}-\d{2}-\d{2}[Tt]\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$",
+        # RFC 3339 ranges (round 5) — sync with evaluator._TIME_RE /
+        # _DATETIME_RE; date/date-time additionally get a calendar
+        # conjunct in format_pred
+        "date-time": (
+            r"^\d{4}-\d{2}-\d{2}[Tt]([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)"
+            r"(\.\d+)?([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+        ),
         "date": r"^\d{4}-\d{2}-\d{2}$",
-        "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?([Zz]|[+-]\d{2}:\d{2})$",
+        "time": (
+            r"^([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+            r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+        ),
         "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
         "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
         # scheme lookahead + RFC 3986 character set (sync with the
@@ -1109,10 +1123,35 @@ class ColumnLowerer:
         "relative-json-pointer": r"^(0|[1-9][0-9]*)(#|(/([^~/]|~[01])*)*)$",
     }
 
-    def _lower_format(self, fmt: str, scol: Column, ipath: Column, kpath: str):
-        rx = self._FORMAT_REGEX.get(fmt)
-        if rx is not None:
-            pred = scol.rlike(rx)
+    @classmethod
+    def format_pred(
+        cls, fmt: str, scol: Column, trusted_calendar: bool = False
+    ) -> Column | None:
+        """Full Column predicate for a built-in format, or None when
+        the format has no Column form. date/date-time carry a
+        calendar-validity conjunct (try_to_timestamp rejects
+        2023-02-29 exactly like the evaluator's _valid_ymd);
+        ``trusted_calendar=True`` skips it for strings produced by
+        date_format over timestamp/date columns, which are
+        calendar-valid by construction — keeps the flagship hot path
+        (warc_ts date-time assertion) a single rlike."""
+        rx = cls._FORMAT_REGEX.get(fmt)
+        if rx is None:
+            return None
+        pred = scol.rlike(rx)
+        if not trusted_calendar and fmt in ("date", "date-time"):
+            datepart = scol if fmt == "date" else F.substring(scol, 1, 10)
+            pred = pred & F.try_to_timestamp(
+                datepart, F.lit("yyyy-MM-dd")
+            ).isNotNull()
+        return pred
+
+    def _lower_format(
+        self, fmt: str, scol: Column, ipath: Column, kpath: str,
+        trusted_calendar: bool = False,
+    ):
+        pred = self.format_pred(fmt, scol, trusted_calendar)
+        if pred is not None:
             return _check(pred, "format", ipath, kpath, scol, f"not a valid {fmt}")
         from jschon_spark.functions.registry import FORMAT_REGISTRY
         from jschon_spark.evaluator import FORMAT_VALIDATORS

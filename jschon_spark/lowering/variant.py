@@ -420,10 +420,11 @@ class VariantLowerer:
         if "format" in schema and self.assert_formats:
             from jschon_spark.lowering.columns import ColumnLowerer
 
-            rx = ColumnLowerer._FORMAT_REGEX.get(schema["format"])
-            if rx is None:
+            # full predicate incl. the date/date-time calendar conjunct
+            fpred = ColumnLowerer.format_pred(schema["format"], strval)
+            if fpred is None:
                 raise CannotLower(f"format {schema['format']!r} -> batch")
-            add(*_check(gated(strval.rlike(rx), is_str),
+            add(*_check(gated(fpred, is_str),
                         "format", ipath, kpath, strval,
                         f"not a valid {schema['format']}"))
 

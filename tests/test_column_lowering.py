@@ -301,3 +301,50 @@ def test_static_coverage_schemas_lower_without_fallback(spark, typed_df):
         compiled = eng.compile(dict(schema))
         with pytest.raises(CannotLower):
             compiled.lower_columns(typed_df.schema, F.struct(*typed_df.columns))
+
+
+def test_format_column_forms_match_python_validators(spark):
+    """Round 5: the typed and variant Column format predicates must
+    agree with the Python FORMAT_VALIDATORS on the RFC 3339
+    range/calendar edges the round-5 fix introduced (24:00:00, minute
+    60, 2023-02-29, year 0000) — the pre-fix typed `date` form was
+    regex-only and silently diverged from the calendar-checking batch
+    path."""
+    import json
+
+    from jschon_spark.engine import ConstraintEngine
+    from jschon_spark.evaluator import FORMAT_VALIDATORS
+    from jschon_spark.lowering.variant import validate_json_column_variant
+
+    samples = {
+        "date-time": ["2024-02-29T00:00:00Z", "2023-02-29T00:00:00Z",
+                      "2024-01-01T23:59:60Z", "2024-01-01T24:00:00Z",
+                      "2024-01-01T10:60:00Z", "0000-02-29T00:00:00+23:59",
+                      "2024-04-31T00:00:00Z", "not-a-date"],
+        "date": ["2024-02-29", "2023-02-29", "0000-01-01", "2024-04-31",
+                 "2024-12-31", "x"],
+        "time": ["23:59:60Z", "24:00:00Z", "10:60:00Z", "10:00:00.5Z",
+                 "10:00:00+24:00", "00:00:00-23:59"],
+        "ipv4": ["01.1.1.1", "0.0.0.0", "255.255.255.255", "1.1.1.1.1"],
+        "uuid": ["123E4567-E89B-12D3-A456-426614174000", "xyz"],
+    }
+    eng = ConstraintEngine(assert_formats=True)
+    for fmt, vals in samples.items():
+        want = [FORMAT_VALIDATORS[fmt][0](v) for v in vals]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        compiled = eng.compile(
+            {"properties": {"s": {"format": fmt}}}
+        )
+        got_typed = [r.passed for r in compiled.apply_typed(df)
+                     .select("passed").collect()]
+        assert got_typed == want, (fmt, list(zip(vals, got_typed, want)))
+
+        jdf = spark.createDataFrame(
+            [(json.dumps({"s": v}),) for v in vals], "doc string"
+        )
+        var = validate_json_column_variant(
+            jdf, "doc", compiled.schema, compiled.catalog,
+            assert_formats=True,
+        )
+        got_var = [r.passed for r in var.select("passed").collect()]
+        assert got_var == want, (fmt, list(zip(vals, got_var, want)))
