@@ -178,7 +178,20 @@ def drift_report(
     driver.
     """
     hist = histogram(df, value_col, partition_col, lo, hi, n_bins)
-    rows = hist.collect()
+    return finish_report(hist.collect(), partition_col, n_bins, psi_threshold)
+
+
+def finish_report(
+    rows: list,
+    partition_col: str,
+    n_bins: int,
+    psi_threshold: float = 0.2,
+) -> list[dict]:
+    """Driver-side finishing math over the collected histogram rows
+    (≤ partitions × bins of them) — split out of ``drift_report`` so
+    the pipeline can defer the histogram ACTION and run its scan
+    concurrently with the other corpus outputs (round 5: the eager
+    collect made drift a serial prelude to the whole pass)."""
     global_rows: dict[int, float] = {}
     parts: dict[object, list] = {}
     for r in rows:

@@ -47,6 +47,7 @@ wrep = validate_corpus(spark, warm, collect_metrics=False)
 for _w in (wrep.verdicts, wrep.partition_verdicts, wrep.stats,
            wrep.duplicate_urls, wrep.lang_violations):
     force(_w)
+_ = wrep.drift
 
 best = None
 for _ in range({reps}):
@@ -55,10 +56,16 @@ for _ in range({reps}):
     # submit the five output jobs concurrently: Spark's FIFO scheduler
     # interleaves their stages, so one job's ramp-down tail overlaps the
     # next job's ramp-up (exactly what a production driver does)
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        list(pool.map(force, (rep.verdicts, rep.partition_verdicts,
-                              rep.stats, rep.duplicate_urls,
-                              rep.lang_violations)))
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = [pool.submit(force, _d)
+                for _d in (rep.verdicts, rep.partition_verdicts,
+                           rep.stats, rep.duplicate_urls,
+                           rep.lang_violations)]
+        # drift is lazy (round 5): materialize concurrently, not as a
+        # serial prelude
+        futs.append(pool.submit(lambda: rep.drift))
+        for _f in futs:
+            _f.result()
     dt = time.time() - t0
     best = dt if best is None else min(best, dt)
 print("RESULT " + json.dumps({{"cores": {cores}, "sec": best}}))
