@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dynamic-JSON ARRAY keywords on the variant path (round 3)
         "props_array_verdicts": Q.props_array_verdicts,
         "props_pattern_verdicts": Q.props_pattern_verdicts,
+        # statically-resolved $dynamicRef lowering (round 5)
+        "props_dynref_verdicts": Q.props_dynref_verdicts,
         "local_source_verdicts": Q.local_source_verdicts,
         "remote_source_verdicts": Q.remote_source_verdicts,
         "nan_strict_verdicts": Q.nan_strict_verdicts,
@@ -629,6 +631,16 @@ def oracle_sql() -> dict[str, str]:
             FROM tagged t JOIN firstb f
               ON t.user_id = f.user_id AND t.b = f.fb
             GROUP BY t.user_id
+        """,
+        # every 4th event renders k as <int>.5 (fails type:integer);
+        # every 3rd uppercases tag (fails ^[a-z_]+$); otherwise k must
+        # land in [0, 50] — value is never NULL in events
+        "props_dynref_verdicts": """
+            SELECT event_id,
+                   (event_id % 4 <> 0
+                    AND FLOOR(value) >= 0 AND FLOOR(value) <= 50
+                    AND event_id % 3 <> 0) AS passed
+            FROM events
         """,
         "props_pattern_verdicts": """
             SELECT event_id,

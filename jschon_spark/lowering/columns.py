@@ -149,6 +149,32 @@ class ColumnLowerer:
         self.catalog = catalog
         self.assert_formats = assert_formats
         self._ref_stack: list[int] = []
+        # root (schema, base) captured at lower(); the dynamic-ref
+        # closure preload runs once, on first $dynamicRef/$recursiveRef
+        self._root: tuple[Any, str] | None = None
+        self._closure_done = False
+
+    def _dynamic_target(self, keyword: str, ref: Any, base_uri: str):
+        """Static (target, tbase) for a $dynamicRef/$recursiveRef, or
+        CannotLower when the runtime rebinding is genuinely dynamic
+        (round 5). Semantics mirror evaluator.py's bookending +
+        outermost-scope rebind: a ref whose rebinding provably lands on
+        its initial resolution is a plain $ref and lowers inline."""
+        if not isinstance(ref, str):
+            raise CannotLower(f"non-string {keyword} -> batch")
+        if not self._closure_done:
+            if self._root is not None:
+                self.catalog.preload_ref_closure(*self._root)
+            self._closure_done = True
+        resolver = (
+            self.catalog.static_dynamic_target
+            if keyword == "$dynamicRef"
+            else self.catalog.static_recursive_target
+        )
+        got = resolver(ref, base_uri)
+        if got is None:
+            raise CannotLower(f"{keyword} {ref!r} rebinds dynamically -> batch")
+        return got
 
     # -- entry ------------------------------------------------------------
     def lower(
@@ -162,6 +188,8 @@ class ColumnLowerer:
     ) -> tuple[Column, Column]:
         if ipath is None:
             ipath = F.lit("")
+        if self._root is None:
+            self._root = (schema, base_uri)
         return self._lower(schema, dtype, col, base_uri, ipath, kpath)
 
     # -- core -------------------------------------------------------------
@@ -191,9 +219,6 @@ class ColumnLowerer:
             from urllib.parse import urljoin
 
             base_uri = urljoin(base_uri, schema["$id"]).split("#", 1)[0]
-        if "$dynamicRef" in schema or "$recursiveRef" in schema:
-            raise CannotLower("$dynamicRef requires the batch evaluator")
-
         json_t = spark_json_type(dtype)
         valids: list[Column] = []
         viols: list[Column] = []
@@ -213,6 +238,26 @@ class ColumnLowerer:
                 add(*self._lower(target, dtype, col, tbase, ipath, kpath + "/$ref"))
             finally:
                 self._ref_stack.pop()
+
+        # ---- $dynamicRef / $recursiveRef: statically-resolvable refs
+        # lower inline like $ref (round 5); genuinely dynamic rebinding
+        # raises CannotLower -> batch (evaluator.py is the semantics
+        # source of truth; cross-checked by the differential fuzzer)
+        for _dyn_kw in ("$dynamicRef", "$recursiveRef"):
+            if _dyn_kw in schema:
+                target, tbase = self._dynamic_target(
+                    _dyn_kw, schema[_dyn_kw], base_uri
+                )
+                tid = id(target)
+                if tid in self._ref_stack:
+                    raise CannotLower(f"cyclic {_dyn_kw} at {kpath} -> batch")
+                self._ref_stack.append(tid)
+                try:
+                    add(*self._lower(
+                        target, dtype, col, tbase, ipath, kpath + "/" + _dyn_kw
+                    ))
+                finally:
+                    self._ref_stack.pop()
 
         # ---- leaf predicates -------------------------------------------
         self._lower_validation(schema, dtype, json_t, col, ipath, kpath, add)
@@ -640,6 +685,16 @@ class ColumnLowerer:
             n, p = self._static_coverage(target, tbase, _seen)
             names |= n
             patterns += p
+        for _dyn_kw in ("$dynamicRef", "$recursiveRef"):
+            if _dyn_kw in schema:
+                # statically-resolvable dynamic refs contribute coverage
+                # like $ref; dynamic rebinding raises -> batch
+                target, tbase = self._dynamic_target(
+                    _dyn_kw, schema[_dyn_kw], base_uri
+                )
+                n, p = self._static_coverage(target, tbase, _seen)
+                names |= n
+                patterns += p
 
         # Branch applicators stay static when EVERY arm contributes
         # identical coverage (common in practice: if/then/else refining
@@ -702,6 +757,14 @@ class ColumnLowerer:
             p, r = self._static_item_coverage(target, tbase, _seen)
             prefix = max(prefix, p)
             rest = rest or r
+        for _dyn_kw in ("$dynamicRef", "$recursiveRef"):
+            if _dyn_kw in schema:
+                target, tbase = self._dynamic_target(
+                    _dyn_kw, schema[_dyn_kw], base_uri
+                )
+                p, r = self._static_item_coverage(target, tbase, _seen)
+                prefix = max(prefix, p)
+                rest = rest or r
 
         # branch applicators: static when every arm covers identically
         # (taken-branch = if ∪ then vs else; see _static_coverage)

@@ -77,6 +77,31 @@ class VariantLowerer:
         self.catalog = catalog
         self.assert_formats = assert_formats
         self.dialect = "2020-12"
+        # cyclic-$ref guard (round 5 — an unguarded cycle would recurse
+        # unboundedly BUILDING Column expressions, hanging compile on
+        # Py4J round-trips instead of raising CannotLower -> batch)
+        self._ref_stack: list[int] = []
+        self._root: tuple[Any, str] | None = None
+        self._closure_done = False
+
+    def _dynamic_target(self, keyword: str, ref: Any, base_uri: str):
+        """Static (target, tbase) for $dynamicRef/$recursiveRef or
+        CannotLower — same rule as ColumnLowerer._dynamic_target."""
+        if not isinstance(ref, str):
+            raise CannotLower(f"non-string {keyword} -> batch")
+        if not self._closure_done:
+            if self._root is not None:
+                self.catalog.preload_ref_closure(*self._root)
+            self._closure_done = True
+        resolver = (
+            self.catalog.static_dynamic_target
+            if keyword == "$dynamicRef"
+            else self.catalog.static_recursive_target
+        )
+        got = resolver(ref, base_uri)
+        if got is None:
+            raise CannotLower(f"{keyword} {ref!r} rebinds dynamically -> batch")
+        return got
 
     def _num_pred(self, v: Column, op, bound) -> Column:
         """Exact numeric comparison of a variant value against a
@@ -177,6 +202,8 @@ class VariantLowerer:
         self.dialect = (
             "2019-09" if (isinstance(s, str) and "2019-09" in s) else "2020-12"
         )
+        if self._root is None:
+            self._root = (schema, base_uri)
         valid, viols = self._lower_value(schema, v, doc, F.lit(""), "", base_uri)
         parse_fail = doc.isNotNull() & v.isNull()
         passed = F.when(doc.isNull(), F.lit(None).cast("boolean")).otherwise(
@@ -230,7 +257,11 @@ class VariantLowerer:
             "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
             # $anchor is evaluation-inert: registration happened in
             # the catalog at compile; only the URI machinery reads it
+            # ($dynamicAnchor/$recursiveAnchor likewise — the REFS are
+            # handled below, statically or CannotLower)
             "$defs", "$id", "$schema", "$ref", "$anchor",
+            "$dynamicRef", "$recursiveRef",
+            "$dynamicAnchor", "$recursiveAnchor",
         }
         if self.dialect == "2019-09":
             unsupported -= {"additionalItems"}
@@ -255,9 +286,27 @@ class VariantLowerer:
             valids.append(c)
             viols.append(w)
 
-        if "$ref" in schema:
-            target, tbase = self.catalog.resolve(schema["$ref"], base_uri)
-            add(*self._lower_value(target, val, raw_doc, ipath, kpath + "/$ref", tbase))
+        for _ref_kw in ("$ref", "$dynamicRef", "$recursiveRef"):
+            if _ref_kw not in schema:
+                continue
+            if _ref_kw == "$ref":
+                target, tbase = self.catalog.resolve(schema["$ref"], base_uri)
+            else:
+                # statically-resolvable dynamic refs inline like $ref
+                # (round 5); dynamic rebinding -> CannotLower -> batch
+                target, tbase = self._dynamic_target(
+                    _ref_kw, schema[_ref_kw], base_uri
+                )
+            tid = id(target)
+            if tid in self._ref_stack:
+                raise CannotLower(f"cyclic {_ref_kw} -> batch")
+            self._ref_stack.append(tid)
+            try:
+                add(*self._lower_value(
+                    target, val, raw_doc, ipath, kpath + "/" + _ref_kw, tbase
+                ))
+            finally:
+                self._ref_stack.pop()
 
         if "type" in schema:
             wanted = schema["type"]

@@ -580,6 +580,59 @@ def props_array_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "passed")
 
 
+DYNREF_SCHEMA = {
+    # statically-resolvable dynamic refs (round 5): "#limit" names a
+    # $dynamicAnchor with a SINGLE owning resource (rebinding provably
+    # lands on the initial resolution -> lowers inline like $ref);
+    # "#tagdef" names a PLAIN $anchor (bookending fails -> plain-$ref
+    # semantics per spec). jschon resolves both through the dynamic
+    # evaluation path at runtime (/root/reference/jschon/keywords/
+    # core.py $dynamicRef); here the same outcome is PROVEN at compile
+    # and the whole validation stays in Column algebra.
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$id": "https://example.org/dynref-schema",
+    "$defs": {
+        "limit": {"$dynamicAnchor": "limit", "type": "integer",
+                  "minimum": 0, "maximum": 50},
+        "tag": {"$anchor": "tagdef", "type": "string", "minLength": 2,
+                "pattern": "^[a-z_]+$"},
+    },
+    "type": "object",
+    "required": ["k", "tag"],
+    "properties": {
+        "k": {"$dynamicRef": "#limit"},
+        "tag": {"$dynamicRef": "#tagdef"},
+    },
+}
+
+
+def props_dynref_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$dynamicRef lowered to pure Column expressions on the VARIANT
+    path (round 5): events render as ``{"k": <int-or-.5>, "tag":
+    <type-or-UPPER>}`` and validate against DYNREF_SCHEMA — ``k`` via a
+    plain-name-fragment $dynamicRef whose anchor has one owner (static
+    rebinding), ``tag`` via a $dynamicRef naming a plain $anchor
+    (plain-$ref semantics). Every 4th event gets a non-integer ``k``
+    (fails type), every 3rd an uppercase ``tag`` (fails pattern). Zero
+    Python in the plan (tests/test_plans.py::
+    test_dynref_plan_is_jvm_only)."""
+    ev = _fan_out(load(spark, sf_dir, "events"))
+    k = F.floor(F.col("value")).cast("long").cast("string")
+    k = F.when(F.col("event_id") % 4 == 0, F.concat(k, F.lit(".5"))).otherwise(k)
+    tag = F.when(
+        F.col("event_id") % 3 == 0, F.upper(F.col("event_type"))
+    ).otherwise(F.col("event_type"))
+    j = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"k": '), k, F.lit(', "tag": "'), tag, F.lit('"}'),
+        ).alias("j"),
+    )
+    eng = ConstraintEngine()
+    out = eng.compile(DYNREF_SCHEMA).apply_json(j, "j")
+    return out.select("event_id", "passed")
+
+
 PATTERN_PROPS_SCHEMA = {
     "$id": "https://example.org/pattern-props-schema",
     "type": "object",

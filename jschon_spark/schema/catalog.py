@@ -326,6 +326,100 @@ class SchemaCatalog:
     def has_recursive_anchor(self, base_uri: str) -> bool:
         return base_uri in self._recursive_anchors
 
+    # -- static dynamic-ref analysis (compile-time, round 5) -------------
+    def preload_ref_closure(self, schema: Schema, base_uri: str) -> None:
+        """Force-resolve every ``$ref``/``$dynamicRef``/``$recursiveRef``
+        reachable from ``schema`` so lazily-sourced resources register
+        their anchors BEFORE any catalog-wide anchor-uniqueness decision
+        (`static_dynamic_target`). Unresolvable refs are skipped — the
+        evaluator only fails on them if the branch is actually entered
+        at runtime, and a ref this walk can't resolve can't load new
+        resources at runtime either. Pure dict work; cycles guarded."""
+        seen: set[int] = set()
+
+        def walk(node: Schema, base: str) -> None:
+            if not isinstance(node, dict) or id(node) in seen:
+                return
+            seen.add(id(node))
+            if isinstance(node.get("$id"), str):
+                base, _ = _strip_fragment(
+                    _urljoin_cached(base, node["$id"]) if base else node["$id"]
+                )
+            for kw in ("$ref", "$dynamicRef", "$recursiveRef"):
+                r = node.get(kw)
+                if isinstance(r, str):
+                    try:
+                        t, tb = self.resolve(r, base)
+                    except CatalogError:
+                        continue
+                    walk(t, tb)
+            for key, val in node.items():
+                if key in ("enum", "const", "default", "examples"):
+                    continue
+                if key in (
+                    "properties", "patternProperties", "dependentSchemas",
+                    "$defs", "definitions",
+                ) and isinstance(val, dict):
+                    for sub in val.values():
+                        walk(sub, base)
+                    continue
+                if isinstance(val, dict):
+                    walk(val, base)
+                elif isinstance(val, list):
+                    for item in val:
+                        if isinstance(item, dict):
+                            walk(item, base)
+
+        walk(schema, base_uri)
+
+    def static_dynamic_target(
+        self, ref: str, base_uri: str
+    ) -> tuple[Schema, str] | None:
+        """Resolve a ``$dynamicRef`` statically, or ``None`` when the
+        runtime rebinding is genuinely dynamic.
+
+        Mirrors the evaluator's bookending rule (evaluator.py ``$dynamicRef``
+        branch): rebinding applies only when the initially-resolved target
+        is itself ``$dynamicAnchor``-named by the ref's fragment. When it
+        applies, the outcome is static iff EXACTLY ONE registered resource
+        defines a dynamic anchor of that name — then any dynamic scope's
+        outermost match IS the initial target. Callers must
+        ``preload_ref_closure`` first so the uniqueness count sees every
+        resource runtime evaluation could enter."""
+        target, tbase = self.resolve(ref, base_uri)
+        frag = ref.split("#", 1)[1] if "#" in ref else ""
+        if (
+            frag
+            and not frag.startswith("/")
+            and isinstance(target, dict)
+            and target.get("$dynamicAnchor") == frag
+        ):
+            owners = [
+                b for b, d in self._dynamic_anchors.items() if frag in d
+            ]
+            if owners != [tbase] or self._dynamic_anchors[tbase][frag] is not target:
+                return None
+        return target, tbase
+
+    def static_recursive_target(
+        self, ref: str, base_uri: str
+    ) -> tuple[Schema, str] | None:
+        """2019-09 twin of ``static_dynamic_target``: a ``$recursiveRef``
+        is static iff its target lacks ``$recursiveAnchor: true`` (plain
+        $ref semantics) or the target's resource is the ONLY one with a
+        recursive anchor (rebinding provably lands back on it)."""
+        target, tbase = self.resolve(ref, base_uri)
+        if isinstance(target, dict) and target.get("$recursiveAnchor") is True:
+            owners = sorted(self._recursive_anchors)
+            if not owners:
+                return target, tbase  # no resource can capture the rebind
+            # the runtime rebind resolves "#" -> the RESOURCE ROOT, so
+            # the target must BE tbase's root for the outcome to be
+            # provably the initial resolution
+            if owners != [tbase] or self._resources.get(tbase) is not target:
+                return None
+        return target, tbase
+
 
 def parse_json_strict(text: str) -> Any:
     """Parse JSON rejecting NaN/Infinity, as the reference does

@@ -186,3 +186,80 @@ def test_scope_duplicate_id_rejected():
         with pytest.raises(KeyError):
             with cat.scope("x"):
                 pass
+
+
+def test_static_dynamic_target_unique_owner():
+    cat = SchemaCatalog()
+    base = cat.register({
+        "$id": "https://e.x/sd",
+        "$defs": {"T": {"$dynamicAnchor": "T", "type": "string"}},
+        "properties": {"x": {"$dynamicRef": "#T"}},
+    })
+    got = cat.static_dynamic_target("#T", base)
+    assert got is not None
+    target, tbase = got
+    assert target["type"] == "string" and tbase == base
+
+
+def test_static_dynamic_target_two_owners_is_dynamic():
+    cat = SchemaCatalog()
+    cat.register({"$id": "https://e.x/other",
+                  "$defs": {"d": {"$dynamicAnchor": "T", "type": "number"}}})
+    base = cat.register({
+        "$id": "https://e.x/sd2",
+        "$defs": {"T": {"$dynamicAnchor": "T", "type": "string"}},
+    })
+    assert cat.static_dynamic_target("#T", base) is None
+
+
+def test_static_dynamic_target_plain_anchor_is_static():
+    # fragment names a plain $anchor (no $dynamicAnchor on the target):
+    # bookending fails, the ref behaves as $ref -> always static, even
+    # with another resource owning a same-named DYNAMIC anchor
+    cat = SchemaCatalog()
+    cat.register({"$id": "https://e.x/noise",
+                  "$defs": {"d": {"$dynamicAnchor": "T", "type": "number"}}})
+    base = cat.register({
+        "$id": "https://e.x/sd3",
+        "$defs": {"T": {"$anchor": "T", "type": "integer"}},
+    })
+    got = cat.static_dynamic_target("#T", base)
+    assert got is not None and got[0]["type"] == "integer"
+
+
+def test_static_recursive_target():
+    cat = SchemaCatalog()
+    # no $recursiveAnchor anywhere -> plain-$ref semantics, static
+    base = cat.register({"$id": "https://e.x/r1", "type": "object"})
+    got = cat.static_recursive_target("#", base)
+    assert got is not None and got[0]["type"] == "object"
+    # anchored root, single owner -> rebinding provably lands back
+    cat2 = SchemaCatalog()
+    b2 = cat2.register({"$id": "https://e.x/r2", "$recursiveAnchor": True,
+                        "type": "object"})
+    got2 = cat2.static_recursive_target("#", b2)
+    assert got2 is not None and got2[1] == b2
+    # two anchored resources -> genuinely dynamic
+    cat2.register({"$id": "https://e.x/r3", "$recursiveAnchor": True})
+    assert cat2.static_recursive_target("#", b2) is None
+
+
+def test_preload_ref_closure_registers_lazy_sources(tmp_path):
+    # a cross-file $ref target that declares a dynamic anchor must be
+    # loaded BEFORE the uniqueness decision, else a stale "single owner"
+    # answer could let a genuinely dynamic ref lower
+    (tmp_path / "ext.json").write_text(json.dumps({
+        "$id": "https://schemas.example/ext",
+        "$defs": {"d": {"$dynamicAnchor": "T", "type": "number"}},
+    }))
+    cat = SchemaCatalog()
+    cat.add_local_source("https://schemas.example/", str(tmp_path) + "/")
+    base = cat.register({
+        "$id": "https://e.x/pc",
+        "$defs": {"T": {"$dynamicAnchor": "T", "type": "string"}},
+        "properties": {"ext": {"$ref": "https://schemas.example/ext"}},
+    })
+    root, _ = cat.resolve(base, "")
+    cat.preload_ref_closure(root, base)
+    # after the preload both owners are visible -> dynamic
+    assert cat.static_dynamic_target("#T", base) is None

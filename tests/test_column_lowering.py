@@ -168,7 +168,11 @@ def test_tiny_and_huge_float_bounds_on_long_column(spark, schema):
     assert got == want, f"{schema}: {got} != {want}"
 
 
-def test_fallback_used_for_dynamic_ref(spark, typed_df):
+def test_static_dynamic_ref_lowers(spark, typed_df):
+    # single resource owns the dynamic anchor -> the rebinding provably
+    # lands on the initial resolution, so the ref lowers inline like
+    # $ref (round 5); the "cycle" breaks statically because the target
+    # re-applies to a STRING dtype where object keywords are inert
     eng = ConstraintEngine()
     schema = {
         "$id": "https://t.example/root",
@@ -178,10 +182,36 @@ def test_fallback_used_for_dynamic_ref(spark, typed_df):
         "properties": {"url": {"$dynamicRef": "#x"}},
     }
     compiled = eng.compile(schema)
+    lowered = compiled.lower_columns(typed_df.schema, F.struct(*typed_df.columns))
+    assert lowered is not None  # stays on the typed path
+    got = [r.passed for r in compiled.apply_typed(typed_df).select("passed").collect()]
+    want = _oracle_verdicts(_rows(), schema)
+    assert got == want
+
+
+def test_fallback_used_for_genuine_dynamic_ref(spark, typed_df):
+    # TWO resources own the "x" dynamic anchor -> the runtime rebinding
+    # depends on the dynamic scope; the lowerer must refuse and the
+    # engine must transparently fall back to the batch evaluator
+    eng = ConstraintEngine()
+    schema = {
+        "$id": "https://t.example/root2",
+        "$defs": {
+            "strict": {"$dynamicAnchor": "x", "type": "string",
+                       "pattern": "^https?://"},
+            "inner": {
+                "$id": "https://t.example/inner",
+                "$defs": {"default": {"$dynamicAnchor": "x"}},
+                "properties": {"url": {"$dynamicRef": "#x"}},
+            },
+        },
+        "$ref": "https://t.example/inner",
+    }
+    compiled = eng.compile(schema)
     with pytest.raises(CannotLower):
         compiled.lower_columns(typed_df.schema, F.struct(*typed_df.columns))
     # apply_typed transparently falls back and still agrees with the
-    # evaluator on the same schema (batch path handles $dynamicRef)
+    # evaluator on the same schema (batch path handles the rebinding)
     got = [r.passed for r in compiled.apply_typed(typed_df).select("passed").collect()]
     want = _oracle_verdicts(_rows(), schema)
     assert got == want

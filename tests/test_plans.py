@@ -319,6 +319,31 @@ def test_pattern_props_plan_is_jvm_only(spark):
     assert rows['{"x_view": 3, "tag": "view", "meta": {"v": 1}}'] is False
 
 
+def test_dynref_plan_is_jvm_only(spark):
+    """Round 5: statically-resolvable $dynamicRef (single anchor owner
+    / plain-$anchor fragment) lowers inline like $ref — the plan must
+    contain no Python stage."""
+    from jschon_spark.engine import ConstraintEngine
+    from jschon_spark.queries import DYNREF_SCHEMA
+
+    df = spark.createDataFrame(
+        [('{"k": 42, "tag": "click"}',),
+         ('{"k": 42.5, "tag": "click"}',),
+         ('{"k": 42, "tag": "CLICK"}',),
+         ('{"k": 99, "tag": "click"}',),
+         (None,)],
+        "j string",
+    )
+    out = ConstraintEngine().compile(DYNREF_SCHEMA).apply_json(df, "j")
+    plan = plan_of(out)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    rows = {r.j: r.passed for r in out.collect()}
+    assert rows['{"k": 42, "tag": "click"}'] is True
+    assert rows['{"k": 42.5, "tag": "click"}'] is False
+    assert rows['{"k": 42, "tag": "CLICK"}'] is False
+    assert rows['{"k": 99, "tag": "click"}'] is False
+
+
 def test_array_schema_plan_is_jvm_only(spark):
     """Round 3: dynamic-JSON ARRAY keywords lower onto array<variant>
     higher-order functions — the plan must contain no Python stage."""

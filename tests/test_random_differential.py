@@ -188,6 +188,16 @@ def _rand_schema(
                 target["$dynamicAnchor"] = anchor
                 schema.setdefault("$defs", {})[f"d_{anchor}"] = target
                 schema["$dynamicRef"] = f"#{anchor}"
+                if rng.random() < 0.3:
+                    # SECOND resource owning the same anchor name: the
+                    # round-5 static resolution must refuse (multi-owner
+                    # -> genuinely dynamic) and fall back to batch; a
+                    # wrong "single owner" answer would lower and the
+                    # cross-check would catch any verdict divergence
+                    schema["$defs"][f"o_{anchor}"] = {
+                        "$id": f"https://fz.example/o{anchor}",
+                        "$defs": {"d": {"$dynamicAnchor": anchor}},
+                    }
         elif kw == "ref" and depth > 0:
             # a $defs member reached by $anchor (anchors are
             # RESOURCE-scoped, so they resolve from nested positions

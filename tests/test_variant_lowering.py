@@ -361,3 +361,80 @@ def test_non_string_schema_keyword_tolerated(spark, docs_df):
         {r.doc: r.passed for r in var2.collect()}
         == {r.doc: r.passed for r in batch2.collect()}
     )
+
+
+def test_static_dynamic_ref_lowers_on_variant(spark, docs_df):
+    """Round 5: a $dynamicRef whose anchor has a single owner resolves
+    statically and lowers inline like $ref — JVM-only plan, verdicts
+    and violation sites identical to the batch evaluator."""
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$id": "https://v.example/dyn-static",
+        "$defs": {"T": {"$dynamicAnchor": "T",
+                        "type": "integer", "minimum": 0}},
+        "properties": {"k": {"$dynamicRef": "#T"}},
+    }
+    eng = ConstraintEngine()
+    compiled = eng.compile(schema)
+    var = validate_json_column_variant(
+        docs_df, "doc", compiled.schema, compiled.catalog,
+        base_uri=compiled.base_uri,
+    )  # must NOT raise CannotLower
+    batch = compiled.apply_json(docs_df, "doc", prefer_variant=False)
+    vmap = {r.doc: r for r in var.select("doc", "passed", "violations").collect()}
+    bmap = {r.doc: r for r in batch.select("doc", "passed", "violations").collect()}
+    for doc in DOCS:
+        v, b = vmap[doc], bmap[doc]
+        assert v.passed == b.passed, f"doc={doc!r}: {v.passed} != {b.passed}"
+        if v.passed is False:
+            vk = sorted((x.keyword, x.instance_path) for x in v.violations)
+            bk = sorted((x.keyword, x.instance_path) for x in b.violations)
+            assert vk == bk, f"doc={doc!r}: {vk} != {bk}"
+
+
+def test_genuine_dynamic_ref_falls_back_on_variant(spark, docs_df):
+    """Two resources own the anchor -> runtime rebinding is genuinely
+    dynamic; the variant lowerer must refuse (batch handles it)."""
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$id": "https://v.example/dyn-root",
+        "$defs": {
+            "strict": {"$dynamicAnchor": "T", "type": "integer"},
+            "inner": {
+                "$id": "https://v.example/dyn-inner",
+                "$defs": {"default": {"$dynamicAnchor": "T"}},
+                "properties": {"k": {"$dynamicRef": "#T"}},
+            },
+        },
+        "$ref": "https://v.example/dyn-inner",
+    }
+    eng = ConstraintEngine()
+    compiled = eng.compile(schema)
+    with pytest.raises(CannotLower):
+        validate_json_column_variant(
+            docs_df, "doc", compiled.schema, compiled.catalog,
+            base_uri=compiled.base_uri,
+        )
+    # engine-level call transparently falls back
+    out = compiled.apply_json(docs_df, "doc")
+    assert out.count() == len(DOCS)
+
+
+def test_cyclic_recursive_ref_falls_back_on_variant(spark, docs_df):
+    """$recursiveRef '#' back to a root that re-references itself is a
+    true cycle — no finite Column expression exists; must refuse."""
+    schema = {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$id": "https://v.example/rec-cycle",
+        "type": "object",
+        "properties": {"a": {"$recursiveRef": "#"}},
+    }
+    eng = ConstraintEngine()
+    compiled = eng.compile(schema)
+    with pytest.raises(CannotLower):
+        validate_json_column_variant(
+            docs_df, "doc", compiled.schema, compiled.catalog,
+            base_uri=compiled.base_uri,
+        )
+    out = compiled.apply_json(docs_df, "doc")
+    assert out.count() == len(DOCS)
