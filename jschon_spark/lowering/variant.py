@@ -20,8 +20,11 @@ with ``to_json`` for the key-set keywords, and arrays extract to
 higher-order functions. Round 4 adds schema-valued patternProperties
 (variant object -> ``map<string, variant>`` + regex-filtered entry
 HOFs) and compound enum/const (recursive structural equality) —
-still pure Column algebra end to end. 2019-09 tuple items and
-unevaluated* raise CannotLower → the Arrow batch evaluator takes
+still pure Column algebra end to end. Round 5 adds conservatively
+GATED unevaluatedProperties/unevaluatedItems (lowerable when no
+in-place applicator can merge child annotations at the same level)
+and statically-resolvable $dynamicRef/$recursiveRef; the genuinely
+dynamic forms raise CannotLower → the Arrow batch evaluator takes
 over. Violations match the batch evaluator's
 (keyword, instance_path, keyword_path) conventions.
 
@@ -253,7 +256,7 @@ class VariantLowerer:
             "properties", "additionalProperties", "propertyNames",
             "patternProperties", "dependentSchemas", "unevaluatedProperties",
             "maxItems", "minItems", "prefixItems", "items",
-            "contains", "maxContains", "minContains",
+            "contains", "maxContains", "minContains", "unevaluatedItems",
             "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
             # $anchor is evaluation-inert: registration happened in
             # the catalog at compile; only the URI machinery reads it
@@ -961,6 +964,83 @@ class VariantLowerer:
                     add(*_check(pred, "minContains", ipath, kpath,
                                 n_match.cast("string"),
                                 f"fewer than {min_c} matching items"))
+
+        if "unevaluatedItems" in schema:
+            # conservatively gated (round 5, mirroring the round-4
+            # unevaluatedProperties gate): lowerable only when no
+            # in-place applicator can merge child item annotations at
+            # this level, and (2020-12) no contains sibling — contains
+            # matches count as evaluated there, a per-element dynamic
+            # fact; 2019-09 collects only items/additionalItems/
+            # unevaluatedItems annotations so contains is inert
+            # (reference legacy.py:115-147)
+            blockers = {
+                "$ref", "$dynamicRef", "$recursiveRef", "allOf",
+                "anyOf", "oneOf", "if", "then", "else",
+                "dependentSchemas",
+            } & set(schema)
+            if blockers:
+                raise CannotLower(
+                    f"unevaluatedItems with {sorted(blockers)} -> batch")
+            if self.dialect != "2019-09" and "contains" in schema:
+                raise CannotLower("unevaluatedItems with contains -> batch")
+            uei = schema["unevaluatedItems"]
+            if uei is not True:
+                uarr = F.try_variant_get(val, "$", "array<variant>")
+                if self.dialect == "2019-09" and isinstance(
+                    schema.get("items"), list
+                ):
+                    u_prefix: list = schema["items"]
+                    u_rest = schema.get("additionalItems")
+                    u_has_rest = "additionalItems" in schema
+                else:
+                    u_prefix = schema.get("prefixItems") or []
+                    u_rest = schema.get("items")
+                    u_has_rest = "items" in schema
+                u_npre = len(u_prefix)
+
+                def _u_res(e: Column, i: Column) -> Column:
+                    # valid-aware coverage, mirroring the evaluator:
+                    # evaluated_items.add(i) happens only when the
+                    # sibling application SUCCEEDED on this element
+                    covered = F.lit(False)
+                    for j, psub in enumerate(u_prefix):
+                        pv, _ = self._lower_value(
+                            psub, e, None, F.lit(""), "", base_uri)
+                        covered = F.when(
+                            i == j, F.coalesce(pv, F.lit(False))
+                        ).otherwise(covered)
+                    if u_has_rest:
+                        rv, _ = self._lower_value(
+                            u_rest, e, None, F.lit(""), "", base_uri)
+                        covered = F.when(
+                            i >= u_npre, F.coalesce(rv, F.lit(False))
+                        ).otherwise(covered)
+                    cv, cw = self._lower_value(
+                        uei, e, None,
+                        F.concat(ipath, F.lit("/"), i.cast("string")),
+                        f"{kpath}/unevaluatedItems", base_uri,
+                    )
+                    ok = covered | F.coalesce(cv, F.lit(False))
+                    return F.struct(
+                        ok.alias("ok"),
+                        F.when(ok, _EMPTY_ARR()).otherwise(cw)
+                        .cast(VIOLATION_DDL).alias("w"),
+                    )
+
+                u_res = F.transform(uarr, _u_res)
+                u_pred = F.when(
+                    is_arr,
+                    F.coalesce(F.forall(u_res, lambda r: r["ok"]), F.lit(True)),
+                ).otherwise(F.lit(True))
+                u_bad = F.flatten(
+                    F.transform(F.filter(u_res, lambda r: ~r["ok"]),
+                                lambda r: r["w"])
+                ).cast(VIOLATION_DDL)
+                add(
+                    F.coalesce(u_pred, F.lit(False)),
+                    F.when(u_pred, _EMPTY_ARR()).otherwise(u_bad),
+                )
 
         # ---- combinators -------------------------------------------------
         for kw in ("allOf",):

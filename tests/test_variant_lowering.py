@@ -438,3 +438,74 @@ def test_cyclic_recursive_ref_falls_back_on_variant(spark, docs_df):
         )
     out = compiled.apply_json(docs_df, "doc")
     assert out.count() == len(DOCS)
+
+
+UEI_DOCS = ['[1, 2]', '[1, "x"]', '["a"]', '[]', '[1, 2, 3, 4]', '[null]',
+            '[true, 1, "s"]', '"notarray"', '5', 'null', '{}', '[1.5, 2]',
+            None]
+
+UEI_CASES = [
+    # (lowers?, schema)
+    (True, {"unevaluatedItems": False}),
+    (True, {"unevaluatedItems": {"type": "integer"}}),
+    (True, {"prefixItems": [{"type": "integer"}], "unevaluatedItems": False}),
+    (True, {"prefixItems": [{"type": "integer"}, {"type": "string"}],
+            "unevaluatedItems": {"type": "boolean"}}),
+    # a FAILED prefix application leaves the item unevaluated -> uei
+    # also applies to it (valid-aware coverage)
+    (True, {"prefixItems": [{"type": "integer"}],
+            "unevaluatedItems": {"type": "string"}}),
+    (True, {"items": {"type": "integer"},
+            "unevaluatedItems": {"type": "string"}}),
+    (True, {"items": True, "unevaluatedItems": False}),
+    (True, {"prefixItems": [{"type": "integer"}], "unevaluatedItems": True}),
+    # 2020-12: contains matches count as evaluated (dynamic) -> batch
+    (False, {"contains": {"type": "integer"}, "unevaluatedItems": False}),
+    # in-place applicators merge child annotations -> batch
+    (False, {"allOf": [{"minItems": 0}], "unevaluatedItems": False}),
+    # 2019-09 tuple forms; contains is annotation-inert there
+    (True, {"$schema": "https://json-schema.org/draft/2019-09/schema",
+            "items": [{"type": "integer"}],
+            "unevaluatedItems": {"type": "string"}}),
+    (True, {"$schema": "https://json-schema.org/draft/2019-09/schema",
+            "items": [{"type": "integer"}],
+            "additionalItems": {"type": "number"},
+            "unevaluatedItems": False}),
+    (True, {"$schema": "https://json-schema.org/draft/2019-09/schema",
+            "contains": {"type": "integer"},
+            "unevaluatedItems": {"type": "integer"}}),
+]
+
+
+@pytest.mark.parametrize(
+    "lowers,schema", UEI_CASES, ids=[str(i) for i in range(len(UEI_CASES))]
+)
+def test_unevaluated_items_gated_lowering(spark, lowers, schema):
+    """Round 5: unevaluatedItems lowers on the variant path when no
+    in-place applicator (and, under 2020-12, no contains) can feed item
+    annotations — verdicts AND violation sites must match batch; the
+    gated shapes must refuse."""
+    df = spark.createDataFrame([(d,) for d in UEI_DOCS], "doc string")
+    eng = ConstraintEngine()
+    compiled = eng.compile(dict(schema), validate_schema=False)
+    try:
+        var = validate_json_column_variant(
+            df, "doc", compiled.schema, compiled.catalog,
+            base_uri=compiled.base_uri,
+        )
+    except CannotLower:
+        assert not lowers, f"expected {schema} to lower"
+        out = compiled.apply_json(df, "doc")  # engine falls back
+        assert out.count() == len(UEI_DOCS)
+        return
+    assert lowers, f"expected {schema} to fall back"
+    batch = compiled.apply_json(df, "doc", prefer_variant=False)
+    vmap = {r.doc: r for r in var.select("doc", "passed", "violations").collect()}
+    bmap = {r.doc: r for r in batch.select("doc", "passed", "violations").collect()}
+    for d in UEI_DOCS:
+        v, b = vmap[d], bmap[d]
+        assert v.passed == b.passed, f"{schema} doc={d!r}: {v.passed} != {b.passed}"
+        if v.passed is False:
+            vk = sorted((x.keyword, x.instance_path) for x in v.violations)
+            bk = sorted((x.keyword, x.instance_path) for x in b.violations)
+            assert vk == bk, f"{schema} doc={d!r}: {vk} != {bk}"
