@@ -5,11 +5,13 @@ Images/audio/video travel as ``binary`` columns with a metadata struct
 Spark-side plumbing — schemas, Arrow batch shapes, partition-friendly
 UDF signatures — is real and tested. The decode step is REAL for PNG
 (zlib IDAT inflate + per-scanline unfiltering -> per-channel pixel
-stats), GIF (stdlib LZW + palette lookup -> RGB stats, round 5) and
-WAV PCM (struct -> RMS/peak/duration) — stdlib only; JPEG pixel
-decoding still needs codec libraries absent from this container, so
-``decode_stub=True`` produces deterministic fake features and
-``decode_stub=False`` marks those rows ``decode_ok=False``.
+stats), GIF (stdlib LZW + palette lookup -> RGB stats, round 5),
+baseline JPEG (spec-implemented huffman + dequant + numpy IDCT +
+chroma upsample + YCbCr->RGB, round 5) and WAV PCM (struct ->
+RMS/peak/duration) — no codec libraries involved. Containers outside
+the decodable subset (progressive JPEG, interlaced PNG, non-PCM WAV)
+mark rows ``decode_ok=False``; ``decode_stub=True`` keeps the
+deterministic fake-feature path for plumbing tests.
 """
 
 from __future__ import annotations
@@ -99,10 +101,11 @@ def media_features(
                     oks.append(True)
                 else:
                     # REAL decode for PNG (zlib IDAT + scanline
-                    # unfiltering), GIF (stdlib LZW + palette lookup)
-                    # and WAV PCM (struct); JPEG pixels still need
-                    # codec libraries, so those rows come back
-                    # decode_ok=False rather than a fabricated feature
+                    # unfiltering), GIF (stdlib LZW + palette lookup),
+                    # baseline JPEG (spec huffman + IDCT) and WAV PCM
+                    # (struct); containers outside the decodable subset
+                    # come back decode_ok=False, never a fabricated
+                    # feature
                     feat = _real_decode(data)
                     feats.append(feat)
                     oks.append(feat is not None)
@@ -220,21 +223,22 @@ def _wav_duration(data: bytes) -> float | None:
     return None
 
 
-# ---- REAL pixel/sample decode for PNG + WAV (stdlib only, round 4) ----
+# ---- REAL pixel/sample decode, no codec libraries ----
 #
 # PNG IDAT is zlib deflate (stdlib ``zlib``) + five per-scanline
-# filters; WAV PCM is plain ``struct``. So for these two containers the
-# decode step is NOT a stub: pixel stats (per-channel mean/std) and
-# audio stats (RMS, peak, duration) come from the actual samples.
-# JPEG pixels still need codec libraries — those remain stubbed.
+# filters; GIF is stdlib-able LZW; WAV PCM is plain ``struct``;
+# baseline JPEG is implemented from the T.81 spec (huffman + numpy
+# IDCT, further below). For all four containers the decode step is NOT
+# a stub: pixel stats (per-channel mean/std) and audio stats (RMS,
+# peak, duration) come from the actual samples.
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 class UnsupportedMedia(Exception):
-    """Container understood but outside the stdlib-decodable subset
-    (non-8-bit depth, interlaced or palette PNG, non-PCM WAV, JPEG
-    pixels, corrupt GIF streams)."""
+    """Container understood but outside the decodable subset
+    (non-8-bit depth, interlaced or palette PNG, non-PCM WAV,
+    progressive/arithmetic/12-bit JPEG, corrupt GIF streams)."""
 
 
 def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
@@ -502,16 +506,288 @@ def decode_wav_stats(data: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, huffman-coded). No codec
+# library exists in this container, so the decode is implemented from
+# the spec: marker parse -> huffman entropy decode -> dequantize ->
+# floating-point 8x8 IDCT (numpy) -> chroma upsample (sample
+# replication, spec-permitted) -> YCbCr->RGB. Progressive (SOF2),
+# arithmetic coding, and 12-bit precision raise UnsupportedMedia.
+# JPEG is lossy and T.81 does not mandate a bit-exact IDCT, so decoded
+# pixels are "an" accurate decode, not byte-identical to libjpeg; the
+# tests verify against mathematically predictable inputs (flat blocks
+# and unit quant tables, where the DCT roundtrip is exact to rounding).
+
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huff_lut(bits: bytes, vals: bytes) -> dict:
+    """(code_length, code) -> symbol map per T.81 Annex C code
+    assignment: codes of each length are consecutive, shifted left
+    when the length grows."""
+    lut, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment with
+    0xFF00 byte-stuffing removal; stops at any non-stuffed marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise UnsupportedMedia("entropy data ended at marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def huff(self, lut: dict) -> int:
+        length, code = 0, 0
+        for _ in range(16):
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise UnsupportedMedia("invalid huffman code")
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.read(s)
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if d[self.pos] != 0xFF or d[self.pos + 1] != 0xD0 + (n & 7):
+            raise UnsupportedMedia("missing restart marker")
+        self.pos += 2
+
+
+def decode_jpeg_stats(data: bytes) -> dict:
+    """Real baseline-JPEG pixel decode from the T.81 spec: per-channel
+    mean/std of the reconstructed 8-bit samples, grayscale or YCbCr
+    (any sampling factors up to 4, incl. 4:2:0/4:2:2), restart markers.
+    Progressive/arithmetic/12-bit raise :class:`UnsupportedMedia`."""
+    import numpy as np
+
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise UnsupportedMedia("not a JPEG")
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedMedia("marker desync")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
+        seg = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise UnsupportedMedia("16-bit quant table")
+                tbl = np.zeros(64, dtype=np.float64)
+                for k in range(64):
+                    tbl[_ZIGZAG[k]] = seg[i + 1 + k]
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = seg[i + 1:i + 17]
+                nv = sum(bits)
+                vals = seg[i + 17:i + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_lut(
+                    bits, vals
+                )
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline/ext sequential
+            prec = seg[0]
+            if prec != 8:
+                raise UnsupportedMedia(f"{prec}-bit JPEG")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMedia(
+                f"SOF 0x{marker:02x} (progressive/arithmetic/lossless)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tables = seg[1 + 2 * c:3 + 2 * c]
+                scan.append({"id": cid, "td": tables >> 4, "ta": tables & 15})
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise UnsupportedMedia("missing SOF/SOS")
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w < 1 or h < 1 or len(comps) not in (1, 3):
+        raise UnsupportedMedia("unsupported component count")
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan:
+        if sc["id"] not in by_id:
+            raise UnsupportedMedia("scan references unknown component")
+        by_id[sc["id"]]["td"] = sc["td"]
+        by_id[sc["id"]]["ta"] = sc["ta"]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise UnsupportedMedia("bad sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient planes at sampled resolution
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    # orthonormal DCT-II basis: spatial = M @ F @ M.T
+    xs = np.arange(8, dtype=np.float64)
+    m = np.cos((2 * xs[:, None] + 1) * xs[None, :] * np.pi / 16) / 2.0
+    m[:, 0] *= 1 / np.sqrt(2)
+
+    bits_r = _JpegBits(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    bits_r.align_and_expect_rst(
+                        mcu_count // restart_interval - 1
+                    )
+                    preds = [0] * len(comps)
+                for ci, c in enumerate(comps):
+                    dc_lut = huff_dc.get(c.get("td", 0))
+                    ac_lut = huff_ac.get(c.get("ta", 0))
+                    q = qt.get(c["tq"])
+                    if dc_lut is None or ac_lut is None or q is None:
+                        raise UnsupportedMedia("missing huffman/quant table")
+                    for bv in range(c["v"]):
+                        for bh in range(c["h"]):
+                            coef = np.zeros(64, dtype=np.float64)
+                            t = bits_r.huff(dc_lut)
+                            if t > 11:
+                                raise UnsupportedMedia("DC category > 11")
+                            preds[ci] += bits_r.receive_extend(t)
+                            coef[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = bits_r.huff(ac_lut)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise UnsupportedMedia("AC index > 63")
+                                coef[_ZIGZAG[k]] = bits_r.receive_extend(s)
+                                k += 1
+                            block = m @ (coef.reshape(8, 8) * q) @ m.T
+                            y0 = (my * c["v"] + bv) * 8
+                            x0 = (mx * c["h"] + bh) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+                mcu_count += 1
+    except IndexError:
+        raise UnsupportedMedia("truncated entropy-coded data")
+
+    # level shift, upsample to full resolution, crop to (h, w)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        chans = [np.clip(np.rint(full[0]), 0, 255)]
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        chans = [
+            np.clip(np.rint(y + 1.402 * cr), 0, 255),
+            np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255),
+            np.clip(np.rint(y + 1.772 * cb), 0, 255),
+        ]
+    means = [float(ch.mean()) for ch in chans]
+    stds = [float(ch.std()) for ch in chans]
+    return {
+        "width": w, "height": h, "channels": len(chans),
+        "mean": means, "std": stds,
+        "px_min": int(min(ch.min() for ch in chans)),
+        "px_max": int(max(ch.max() for ch in chans)),
+    }
+
+
 def _real_decode(data: bytes) -> list[float] | None:
-    """PNG/GIF/WAV -> N_FEATURES floats via the stdlib decoders; None
-    when the container needs codec libraries (JPEG pixels) or is
-    outside the decodable subset."""
+    """PNG/GIF/JPEG/WAV -> N_FEATURES floats via the from-scratch
+    decoders; None when the container is outside the decodable subset
+    (progressive JPEG, interlaced PNG, non-PCM WAV, ...)."""
     mt = sniff_media_type(data)
     try:
-        if mt in ("image/png", "image/gif"):
-            s = (decode_png_stats if mt == "image/png" else decode_gif_stats)(
-                data
-            )
+        if mt in ("image/png", "image/gif", "image/jpeg"):
+            s = {
+                "image/png": decode_png_stats,
+                "image/gif": decode_gif_stats,
+                "image/jpeg": decode_jpeg_stats,
+            }[mt](data)
             feat = [float(s["width"]), float(s["height"]),
                     float(s["channels"])]
             feat += [m / 255.0 for m in s["mean"]] + [0.0] * (4 - s["channels"])

@@ -169,15 +169,20 @@ def test_wav_decode_golden_square_wave():
 
 def test_media_features_real_decode_distributed(spark):
     """media_features(decode_stub=False) over a mixed batch: PNG/GIF/
-    WAV rows carry real stats in the feature vector, JPEG/None rows are
-    decode_ok=False — same mapInPandas plumbing as the stub path."""
+    JPEG/WAV rows carry real stats in the feature vector; header-only
+    (undecodable) JPEG and None rows are decode_ok=False — same
+    mapInPandas plumbing as the stub path."""
+    import numpy as np
+
     gif = _encode_gif([1] * 6, 3, 2, [(0, 0, 0), (40, 80, 120)])
+    jpg_real = _encode_jpeg(np.full((8, 8), 64, dtype=np.uint8), quant=1)
     rows = [
         (1, _encode_png([100] * (4 * 3 * 3), 4, 3, 3, [0, 1, 2, 3, 4])),
         (2, _tiny_wav(2.0)),
         (3, _tiny_jpeg(8, 8)),
         (4, None),
         (5, gif),
+        (6, jpg_real),
     ]
     df = spark.createDataFrame(rows, "id long, payload binary")
     import hashlib as _hl
@@ -198,6 +203,9 @@ def test_media_features_real_decode_distributed(spark):
     assert wav.feature[1] == 8000.0 and wav.feature[2] == 1.0
     jpg = got[key(rows[2][1])]
     assert jpg.decode_ok is False and jpg.feature is None
+    jr = got[key(jpg_real)]
+    assert jr.decode_ok and jr.feature[:3] == [8.0, 8.0, 1.0]
+    assert abs(jr.feature[3] - 64 / 255.0) < 1e-6      # mean (flat, q=1)
     g = got[key(gif)]
     assert g.decode_ok and g.feature[:3] == [3.0, 2.0, 3.0]
     assert abs(g.feature[3] - 40 / 255.0) < 1e-6       # mean R (flat)
@@ -478,3 +486,283 @@ def test_gif_decode_known_bytes_and_variants():
     short[24] = 2  # image descriptor width
     with _pytest.raises(UnsupportedMedia):
         decode_gif_stats(bytes(short))
+
+
+# ---- baseline JPEG test encoder (independent of the decoder) ----
+# Forward path only: RGB->YCbCr, optional 4:2:0 downsample, FDCT +
+# quantize, DPCM/run-length symbols, fixed-length-8 huffman tables
+# (a valid prefix set the decoder must handle like any DHT).
+
+_JZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)
+
+
+def _jcat(v):
+    return abs(int(v)).bit_length()
+
+
+def _encode_jpeg(img, quant=16, subsample=False, restart=0):
+    """img: HxW (grayscale) or HxWx3 uint8 RGB numpy array."""
+    import numpy as np
+
+    xs = np.arange(8, dtype=np.float64)
+    m = np.cos((2 * xs[:, None] + 1) * xs[None, :] * np.pi / 16) / 2.0
+    m[:, 0] *= 1 / np.sqrt(2)
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    q = np.full((8, 8), float(quant))
+
+    if gray:
+        comps = [(img, 1, 1, 0)]
+        hmax = vmax = 1
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def ds(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                            mode="edge")
+                return (pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2]
+                        + pp[1::2, 1::2]) / 4.0
+            comps = [(y, 2, 2, 0), (ds(cb), 1, 1, 1), (ds(cr), 1, 1, 1)]
+            hmax = vmax = 2
+        else:
+            comps = [(y, 1, 1, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+            hmax = vmax = 1
+
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    comp_blocks = []
+    for plane, hs, vs, _tq in comps:
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(plane, ((0, ph - plane.shape[0]),
+                           (0, pw - plane.shape[1])), mode="edge")
+        blocks = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for bv in range(vs):
+                    for bh in range(hs):
+                        y0, x0 = (my * vs + bv) * 8, (mx * hs + bh) * 8
+                        f = m.T @ (p[y0:y0 + 8, x0:x0 + 8] - 128.0) @ m
+                        blocks.append(np.rint(f / q).astype(np.int64))
+        comp_blocks.append(blocks)
+
+    classes = [[0]] if gray else [[0], [1, 2]]
+    tables = []
+    for cls in classes:
+        ac_s = {0x00}
+        for ci in cls:
+            for b in comp_blocks[ci]:
+                zz = [int(b.flat[_JZZ[k]]) for k in range(64)]
+                last = 63
+                while last > 0 and zz[last] == 0:
+                    last -= 1
+                run = 0
+                for k in range(1, last + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        if run == 16:
+                            ac_s.add(0xF0)
+                            run = 0
+                    else:
+                        ac_s.add((run << 4) | _jcat(zz[k]))
+                        run = 0
+        # all 12 DC categories: restart markers reset the DPCM pred,
+        # which a collection pass would not model
+        def tab(syms):
+            vals = sorted(syms)
+            bits = [0] * 16
+            bits[7] = len(vals)
+            return bits, vals, {v: (8, i) for i, v in enumerate(vals)}
+        tables.append((tab(range(12)), tab(ac_s)))
+
+    out = bytearray(b"\xff\xd8")
+    qz = bytes(int(q.flat[_JZZ[k]]) for k in range(64))
+    seg = b"".join(bytes([tq]) + qz for tq in sorted({c[3] for c in comps}))
+    out += b"\xff\xdb" + (len(seg) + 2).to_bytes(2, "big") + seg
+    ncomp = len(comps)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
+        bytes([ncomp])
+    for i, (_p, hs, vs, tq) in enumerate(comps):
+        sof += bytes([i + 1, (hs << 4) | vs, tq])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    for ti, ((dbits, dvals, _de), (abits, avals, _ae)) in enumerate(tables):
+        seg = bytes([0x00 | ti]) + bytes(dbits) + bytes(dvals)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+        seg = bytes([0x10 | ti]) + bytes(abits) + bytes(avals)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    if restart:
+        out += b"\xff\xdd\x00\x04" + restart.to_bytes(2, "big")
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        ti = 0 if (gray or i == 0) else 1
+        sos += bytes([i + 1, (ti << 4) | ti])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    bw = _JBitWriter()
+    preds = [0] * ncomp
+    nblk = [hs * vs for _p, hs, vs, _t in comps]
+    done = [0] * ncomp
+    mcu_count = rst_n = 0
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bw.flush()
+                out += bw.out
+                bw = _JBitWriter()
+                out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+                rst_n += 1
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                ti = 0 if (gray or ci == 0) else 1
+                (_db, _dv, denc), (_ab, _av, aenc) = tables[ti]
+                for _ in range(nblk[ci]):
+                    b = comp_blocks[ci][done[ci]]
+                    done[ci] += 1
+                    zz = [int(b.flat[_JZZ[k]]) for k in range(64)]
+                    diff = zz[0] - preds[ci]
+                    preds[ci] = zz[0]
+                    s = _jcat(diff)
+                    ln, code = denc[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff + (1 << s) - 1 if diff < 0 else diff, s)
+                    last = 63
+                    while last > 0 and zz[last] == 0:
+                        last -= 1
+                    run = 0
+                    for k in range(1, last + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            if run == 16:
+                                ln, code = aenc[0xF0]
+                                bw.write(code, ln)
+                                run = 0
+                        else:
+                            s = _jcat(zz[k])
+                            ln, code = aenc[(run << 4) | s]
+                            bw.write(code, ln)
+                            v = zz[k]
+                            bw.write(v + (1 << s) - 1 if v < 0 else v, s)
+                            run = 0
+                    if last < 63:
+                        ln, code = aenc[0x00]
+                        bw.write(code, ln)
+            mcu_count += 1
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_exact_flat_and_gradient():
+    """With a unit quant table the DCT roundtrip is exact to rounding:
+    a flat gray block decodes to exactly its value (std 0), a gradient
+    to its exact mean; flat RGB survives the YCbCr roundtrip within
+    +-2 of each channel."""
+    import numpy as np
+
+    from jschon_spark.operators.multimodal import (
+        _jpeg_dims, decode_jpeg_stats, sniff_media_type,
+    )
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    data = _encode_jpeg(img, quant=1)
+    assert sniff_media_type(data) == "image/jpeg"
+    assert _jpeg_dims(data) == (8, 8)
+    s = decode_jpeg_stats(data)
+    assert (s["width"], s["height"], s["channels"]) == (8, 8, 1)
+    assert s["mean"] == [77.0] and s["std"] == [0.0]
+    assert s["px_min"] == 77 and s["px_max"] == 77
+
+    gx = np.tile(np.arange(16) * 16, (16, 1)).astype(np.uint8)
+    s = decode_jpeg_stats(_encode_jpeg(gx, quant=1))
+    assert abs(s["mean"][0] - gx.mean()) < 1.0
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 200, 50, 100
+    s = decode_jpeg_stats(_encode_jpeg(rgb, quant=1))
+    assert s["channels"] == 3
+    for got, want in zip(s["mean"], (200, 50, 100)):
+        assert abs(got - want) <= 2.0
+
+
+def test_jpeg_decode_subsampled_restart_and_lossy():
+    """4:2:0 MCU geometry with odd dimensions, restart-marker streams
+    decoding identically to the unsegmented stream, and default-quant
+    lossy decode staying near the source means."""
+    import numpy as np
+
+    from jschon_spark.operators.multimodal import decode_jpeg_stats
+
+    rgb = np.zeros((13, 11, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 30, 180, 90
+    s = decode_jpeg_stats(_encode_jpeg(rgb, quant=1, subsample=True))
+    assert (s["width"], s["height"], s["channels"]) == (11, 13, 3)
+    for got, want in zip(s["mean"], (30, 180, 90)):
+        assert abs(got - want) <= 2.0
+
+    img = np.tile(np.arange(48) * 5 % 256, (24, 1)).astype(np.uint8)
+    d0 = decode_jpeg_stats(_encode_jpeg(img, quant=2))
+    d1 = decode_jpeg_stats(_encode_jpeg(img, quant=2, restart=2))
+    assert d0 == d1
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    s = decode_jpeg_stats(_encode_jpeg(noise))
+    for c in range(3):
+        assert abs(s["mean"][c] - noise[..., c].mean()) < 6.0
+
+
+def test_jpeg_decode_unsupported_variants():
+    """Progressive (SOF2), 12-bit precision, header-only, and
+    truncated entropy streams raise UnsupportedMedia instead of
+    returning fabricated stats."""
+    import numpy as np
+    import pytest as _pytest
+
+    from jschon_spark.operators.multimodal import (
+        UnsupportedMedia, decode_jpeg_stats,
+    )
+
+    good = bytearray(_encode_jpeg(np.full((8, 8), 1, dtype=np.uint8)))
+    i = good.find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[i + 1] = 0xC2
+    with _pytest.raises(UnsupportedMedia):
+        decode_jpeg_stats(bytes(prog))
+    deep = bytearray(good)
+    deep[i + 4] = 12  # precision byte
+    with _pytest.raises(UnsupportedMedia):
+        decode_jpeg_stats(bytes(deep))
+    with _pytest.raises(UnsupportedMedia):
+        decode_jpeg_stats(_tiny_jpeg(8, 8))  # SOF but no SOS
+    with _pytest.raises(UnsupportedMedia):
+        decode_jpeg_stats(bytes(good[:len(good) - 12]))  # cut entropy
