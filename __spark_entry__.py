@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data_verdicts": Q.streaming_late_data_verdicts,
         # pinned html→text extractor through the Arrow UDF (round 3)
         "extract_text_goldens": Q.extract_text_goldens,
+        # from-scratch PNG/WAV/JPEG decoders, distributed (round 5)
+        "media_decode_verdicts": Q.media_decode_verdicts,
     }
 
 
@@ -498,6 +500,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "detailed_output_docs": _detailed_output_oracle(),
         "extract_text_goldens": _extract_goldens_oracle(),
+        # the decode math must invert the executor-side synthesis
+        # exactly: flat-color PNG means are the exact channel bytes,
+        # the square-wave WAV rms/peak are amp/128 (power-of-two
+        # denominator, no rounding), and the unit-quant flat-gray JPEG
+        # huffman+IDCT roundtrip returns the source value bit-exactly
+        "media_decode_verdicts": """
+            SELECT doc_id,
+                   CAST(4 + doc_id % 5 AS BIGINT) AS png_w,
+                   CAST(3 + doc_id % 4 AS BIGINT) AS png_h,
+                   CAST(doc_id * 37 % 256 AS DOUBLE) AS mean_r,
+                   CAST(doc_id * 59 % 256 AS DOUBLE) AS mean_g,
+                   CAST(doc_id * 83 % 256 AS DOUBLE) AS mean_b,
+                   CAST(0.0 AS DOUBLE) AS std_r,
+                   CAST(least(doc_id * 37 % 256, doc_id * 59 % 256,
+                              doc_id * 83 % 256) AS DOUBLE) AS px_min,
+                   CAST(greatest(doc_id * 37 % 256, doc_id * 59 % 256,
+                                 doc_id * 83 % 256) AS DOUBLE) AS px_max,
+                   CAST(1 + doc_id % 100 AS DOUBLE) / 128.0 AS wav_rms,
+                   CAST(1 + doc_id % 100 AS DOUBLE) / 128.0 AS wav_peak,
+                   64.0 / 8000.0 AS wav_dur,
+                   CAST(8 AS BIGINT) AS jpg_w,
+                   CAST(doc_id * 11 % 256 AS DOUBLE) AS jpg_mean,
+                   CAST(0.0 AS DOUBLE) AS jpg_std
+            FROM documents
+        """,
         # exact interpolated quantiles: Spark percentile and DuckDB
         # quantile_cont both use the (n-1)*p linear-interpolation rule
         "stats_quantiles": " UNION ALL ".join(

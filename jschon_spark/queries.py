@@ -1021,3 +1021,111 @@ def windowed_verdicts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = ConstraintEngine()
     validated = eng.compile(PROPS_SCHEMA).apply_json(ev, "props")
     return windowed_verdicts(validated, ts_col="ts", window="1 hour")
+
+
+def media_decode_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gates the from-scratch media decoders' DISTRIBUTED path.
+
+    Each doc_id deterministically parameterizes three payloads built
+    INSIDE the Arrow batch on the executor — a flat-color PNG
+    (zlib + scanline filters), an 8-bit square-wave WAV, and a
+    flat-gray baseline JPEG bitstream (unit quant table, so the
+    huffman + IDCT roundtrip is exact) — then the real decoders
+    (operators/multimodal.py) run in the SAME mapInPandas pass. The
+    DuckDB oracle recomputes every expected stat ARITHMETICALLY from
+    doc_id: the decode math must invert the synthesis exactly, or the
+    value hash mismatches. Reference precedent for fixture-driven
+    byte-exact decode checks: tests/test_examples.py:25-28."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").coalesce(8)
+
+    def gen(batches):
+        import struct
+        import zlib
+
+        from jschon_spark.operators.multimodal import (
+            decode_jpeg_stats,
+            decode_png_stats,
+            decode_wav_stats,
+        )
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body)))
+
+        def flat_gray_jpeg(v: int) -> bytes:
+            # one 8x8 block, quant all-1: the only nonzero coefficient
+            # is DC = 8*(v-128); DHT carries 12 DC categories and a
+            # lone EOB symbol, every code 8 bits long
+            out = bytearray(b"\xff\xd8")
+            qz = b"\x01" * 64
+            out += b"\xff\xdb\x00\x43\x00" + qz
+            out += (b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01"
+                    b"\x01\x11\x00")
+            dbits = bytearray(16)
+            dbits[7] = 12
+            out += (b"\xff\xc4" + (2 + 17 + 12).to_bytes(2, "big")
+                    + b"\x00" + bytes(dbits) + bytes(range(12)))
+            abits = bytearray(16)
+            abits[7] = 1
+            out += (b"\xff\xc4" + (2 + 17 + 1).to_bytes(2, "big")
+                    + b"\x10" + bytes(abits) + b"\x00")
+            out += b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+            dc = 8 * (v - 128)
+            s = abs(dc).bit_length()
+            extra = dc + (1 << s) - 1 if dc < 0 else dc
+            bits = format(s, "08b")
+            if s:
+                bits += format(extra, f"0{s}b")
+            bits += "00000000"  # EOB (AC table code 0, length 8)
+            bits += "1" * (-len(bits) % 8)
+            for i in range(0, len(bits), 8):
+                byte = int(bits[i:i + 8], 2)
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r, g, b = did * 37 % 256, did * 59 % 256, did * 83 % 256
+                w, h = 4 + did % 5, 3 + did % 4
+                row = b"\x00" + bytes((r, g, b)) * w
+                png = (b"\x89PNG\r\n\x1a\n"
+                       + chunk(b"IHDR",
+                               struct.pack(">II5B", w, h, 8, 2, 0, 0, 0))
+                       + chunk(b"IDAT", zlib.compress(row * h))
+                       + chunk(b"IEND", b""))
+                amp = 1 + did % 100
+                pcm = bytes([128 + amp, 128 - amp] * 32)  # 64 frames
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+                body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(pcm)) + pcm)
+                wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+                v = did * 11 % 256
+                ps = decode_png_stats(png)
+                ws = decode_wav_stats(wav)
+                js = decode_jpeg_stats(flat_gray_jpeg(v))
+                rows.append((
+                    did, ps["width"], ps["height"],
+                    ps["mean"][0], ps["mean"][1], ps["mean"][2],
+                    ps["std"][0], float(ps["px_min"]), float(ps["px_max"]),
+                    ws["rms"], ws["peak"], ws["duration_sec"],
+                    js["width"], js["mean"][0], js["std"][0],
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "png_w", "png_h", "mean_r", "mean_g", "mean_b",
+                "std_r", "px_min", "px_max", "wav_rms", "wav_peak",
+                "wav_dur", "jpg_w", "jpg_mean", "jpg_std",
+            ])
+
+    return docs.mapInPandas(gen, schema=(
+        "doc_id long, png_w long, png_h long, mean_r double, "
+        "mean_g double, mean_b double, std_r double, px_min double, "
+        "px_max double, wav_rms double, wav_peak double, wav_dur double, "
+        "jpg_w long, jpg_mean double, jpg_std double"
+    ))
