@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text_goldens": Q.extract_text_goldens,
         # from-scratch PNG/WAV/JPEG decoders, distributed (round 5)
         "media_decode_verdicts": Q.media_decode_verdicts,
+        # Gopher-style repetition quality signals (round 5)
+        "repetition_docs": Q.repetition_docs,
     }
 
 
@@ -524,6 +526,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id * 11 % 256 AS DOUBLE) AS jpg_mean,
                    CAST(0.0 AS DOUBLE) AS jpg_std
             FROM documents
+        """,
+        # replays textqa.repetition_features: whitespace tokens, word
+        # n-gram distinct fractions, top-token occurrence fraction
+        "repetition_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), base AS (
+              SELECT doc_id, t, len(t) AS n,
+                     list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1]) AS g2,
+                     list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i + 1] || ' '
+                                         || t[i + 2]) AS g3
+              FROM toks
+            ), top AS (
+              SELECT doc_id, max(c) AS topc FROM (
+                SELECT doc_id, tok, count(*) AS c
+                FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+                GROUP BY doc_id, tok
+              ) GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(b.n AS BIGINT) AS rep_n_tokens,
+                   CASE WHEN b.n > 0 THEN
+                     CAST(b.n - len(list_distinct(b.t)) AS DOUBLE) / b.n
+                   ELSE CAST(0.0 AS DOUBLE) END AS dup_token_frac,
+                   CASE WHEN len(b.g2) > 0 THEN
+                     CAST(len(b.g2) - len(list_distinct(b.g2)) AS DOUBLE)
+                       / len(b.g2)
+                   ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac,
+                   CASE WHEN len(b.g3) > 0 THEN
+                     CAST(len(b.g3) - len(list_distinct(b.g3)) AS DOUBLE)
+                       / len(b.g3)
+                   ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac,
+                   CASE WHEN b.n > 0 THEN
+                     CAST(coalesce(top.topc, 0) AS DOUBLE) / b.n
+                   ELSE CAST(0.0 AS DOUBLE) END AS top_token_frac
+            FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
         """,
         # exact interpolated quantiles: Spark percentile and DuckDB
         # quantile_cont both use the (n-1)*p linear-interpolation rule

@@ -96,3 +96,71 @@ def fingerprint(col: Column, window: int = 8) -> Column:
     dedup key. (Rolling-hash winnowing lives in dedup.simhash/minhash.)"""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+def _ngram_join(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings, built row-locally with
+    HOFs. ``F.concat`` propagates the NULL that ``F.get`` returns past
+    the array end, so the trailing partial grams filter out."""
+    def mk(x: Column, i: Column) -> Column:
+        parts = [x]
+        for k in range(1, n):
+            parts += [F.lit(" "), F.get(toks, i + F.lit(k))]
+        return F.concat(*parts)
+
+    return F.filter(F.transform(toks, mk), lambda g: g.isNotNull())
+
+
+def _max_run(arr: Column) -> Column:
+    """Largest count of any single value in ``arr``: sort, then fold a
+    (prev, run, best) accumulator — O(n log n) row-local, no shuffle.
+    (The sentinel init is safe: a first token equal to it still opens a
+    run of 1 through either branch.)"""
+    init = F.struct(
+        F.lit("\x00").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(run, acc["best"]).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, merge, lambda a: a["best"])
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1
+    repetition filters — public method), row-local Column algebra: no
+    shuffle, no UDF, O(tokens log tokens) per document, so the plan is
+    a single narrow projection at any corpus size.
+
+    Adds: rep_n_tokens, dup_token_frac (fraction of tokens that are
+    repeats), dup_2gram_frac / dup_3gram_frac (fraction of word
+    n-grams that are repeats), top_token_frac (occurrences of the most
+    frequent token over all tokens; token-count-based rather than
+    Gopher's character-mass variant)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    g2 = _ngram_join(toks, 2)
+    g3 = _ngram_join(toks, 3)
+    n2, n3 = F.size(g2), F.size(g3)
+
+    def dup_frac(arr: Column, size_col: Column) -> Column:
+        return F.when(
+            size_col > 0,
+            (size_col - F.size(F.array_distinct(arr))) / size_col,
+        ).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("rep_n_tokens", F.coalesce(n, F.lit(0)))
+        .withColumn("dup_token_frac", dup_frac(toks, n))
+        .withColumn("dup_2gram_frac", dup_frac(g2, n2))
+        .withColumn("dup_3gram_frac", dup_frac(g3, n3))
+        .withColumn(
+            "top_token_frac",
+            F.when(n > 0, _max_run(toks) / n).otherwise(F.lit(0.0)),
+        )
+    )

@@ -1129,3 +1129,16 @@ def media_decode_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px_max double, wav_rms double, wav_peak double, wav_dur double, "
         "jpg_w long, jpg_mean double, jpg_std double"
     ))
+
+
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals over documents —
+    row-local Column algebra (textqa.repetition_features): no shuffle,
+    no UDF, scan→project only, so the plan is shape-identical at
+    100 TB. The DuckDB oracle recomputes every fraction with list
+    functions + an unnest/group-by for the top-token count."""
+    docs = load(spark, sf_dir, "documents")
+    return textqa.repetition_features(docs).select(
+        "doc_id", "rep_n_tokens", "dup_token_frac", "dup_2gram_frac",
+        "dup_3gram_frac", "top_token_frac",
+    )
