@@ -507,3 +507,33 @@ def test_numeric_quantiles_exact_and_approx(spark):
     appr = {(r.col_name, r.p): r.q
             for r in stats.numeric_quantiles(df, ["x"], exact=False).collect()}
     assert abs(appr[("x", 0.5)] - 50.0) <= 1.0
+
+
+def test_repetition_features_hand_computed(spark):
+    # doc 1: "a b a b c" -> 5 tokens, distinct 3 -> dup_token 2/5;
+    #   2-grams [a b, b a, a b, b c]: 4, distinct 3 -> 1/4;
+    #   3-grams [a b a, b a b, a b c]: distinct 3 -> 0;
+    #   top token a (or b) = 2 -> 2/5.
+    # doc 2: "x x x x" -> dup 3/4, 2-gram [x x]*3 -> 2/3, 3-gram -> 1/2, top 1.0
+    # doc 3: empty / doc 4: NULL -> all zeros.
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x x x x"), (3, ""), (4, None)],
+        "id long, text string",
+    )
+    got = {r.id: r for r in textqa.repetition_features(df).collect()}
+    r1 = got[1]
+    assert r1.rep_n_tokens == 5
+    assert abs(r1.dup_token_frac - 2 / 5) < 1e-12
+    assert abs(r1.dup_2gram_frac - 1 / 4) < 1e-12
+    assert r1.dup_3gram_frac == 0.0
+    assert abs(r1.top_token_frac - 2 / 5) < 1e-12
+    r2 = got[2]
+    assert r2.rep_n_tokens == 4
+    assert abs(r2.dup_token_frac - 3 / 4) < 1e-12
+    assert abs(r2.dup_2gram_frac - 2 / 3) < 1e-12
+    assert abs(r2.dup_3gram_frac - 1 / 2) < 1e-12
+    assert r2.top_token_frac == 1.0
+    for i in (3, 4):
+        r = got[i]
+        assert r.rep_n_tokens == 0 and r.dup_token_frac == 0.0
+        assert r.top_token_frac == 0.0
