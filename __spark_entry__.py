@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_verdicts": Q.media_decode_verdicts,
         # Gopher-style repetition quality signals (round 5)
         "repetition_docs": Q.repetition_docs,
+        # GPT-3-style benchmark decontamination (round 5)
+        "contamination_docs": Q.contamination_docs,
     }
 
 
@@ -567,6 +569,45 @@ def oracle_sql() -> dict[str, str]:
                      CAST(coalesce(top.topc, 0) AS DOUBLE) / b.n
                    ELSE CAST(0.0 AS DOUBLE) END AS top_token_frac
             FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+        """,
+        # replays decontam.contamination_report: normalized tokens ->
+        # distinct 8-gram shingles -> md5-60 hash join against the
+        # snippet-derived benchmark gram set (doc_id % 101 == 7,
+        # tokens 4-15)
+        "contamination_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), dgrams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, len(t) - 7),
+                       i -> array_to_string(t[i:i+7], ' '))) AS g
+              FROM toks WHERE len(t) >= 8
+            ), bgrams AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+              FROM (
+                SELECT unnest(list_transform(
+                         generate_series(1, len(bt) - 7),
+                         i -> array_to_string(bt[i:i+7], ' '))) AS gram
+                FROM (SELECT t[4:15] AS bt FROM toks
+                      WHERE doc_id % 101 = 7 AND len(t) >= 15)
+              )
+            ), hits AS (
+              SELECT d.doc_id, d.n_grams, count(*) AS n_hit
+              FROM (
+                SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+                       ('0x' || substr(md5(unnest(g)), 1, 15))::BIGINT AS h
+                FROM dgrams
+              ) d JOIN bgrams USING (h)
+              GROUP BY d.doc_id, d.n_grams
+            )
+            SELECT doc_id, n_grams, n_hit,
+                   CAST(n_hit AS DOUBLE) / n_grams AS hit_frac
+            FROM hits
         """,
         # exact interpolated quantiles: Spark percentile and DuckDB
         # quantile_cont both use the (n-1)*p linear-interpolation rule

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jschon_spark.engine import ConstraintEngine
-from jschon_spark.operators import dedup, drift, referential, similarity, stats, textqa, uniqueness
+from jschon_spark.operators import decontam, dedup, drift, referential, similarity, stats, textqa, uniqueness
 
 # The flagship document schema applied to the driver's `documents`
 # table (doc_id, text, lang, source, n_chars) — one keyword from each
@@ -1142,3 +1142,26 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "rep_n_tokens", "dup_token_frac", "dup_2gram_frac",
         "dup_3gram_frac", "top_token_frac",
     )
+
+
+def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over documents: the "eval set" is
+    carved deterministically from the corpus itself (docs with
+    doc_id % 101 == 7 contribute tokens 4-15 as a 12-token snippet),
+    so every snippet plants real 8-gram contamination. The corpus side
+    is scan -> row-local shingles -> explode 60-bit hashes ->
+    BROADCAST semi-join (eval sets are MBs vs a 100 TB corpus); only
+    matched rows reach the one groupBy. Oracle replays the identical
+    md5-60 hash join with DuckDB list functions."""
+    docs = load(spark, sf_dir, "documents")
+    toks = textqa.tokens(dedup.normalized(F.col("text")))
+    bench = (
+        docs.filter(F.col("doc_id") % 101 == 7)
+        .select(
+            F.array_join(F.slice(toks, 4, 12), " ").alias("text"),
+            F.size(toks).alias("__nt"),
+        )
+        .filter(F.col("__nt") >= 15)
+        .drop("__nt")
+    )
+    return decontam.contamination_report(docs, bench, n=8)

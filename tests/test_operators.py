@@ -537,3 +537,28 @@ def test_repetition_features_hand_computed(spark):
         r = got[i]
         assert r.rep_n_tokens == 0 and r.dup_token_frac == 0.0
         assert r.top_token_frac == 0.0
+
+
+def test_contamination_report_planted(spark):
+    from jschon_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 4-gram "w x y z" twice-shifted context
+            (1, "a b c w x y z d e"),
+            (2, "no overlap here at all whatsoever friend"),
+            (3, "w x y z"),          # exactly the benchmark gram
+            (4, "w x y"),            # too short for n=4 -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("p q w x y z r",)], "text string")
+    got = {r.doc_id: r for r in decontam.contamination_report(
+        docs, bench, n=4).collect()}
+    assert set(got) == {1, 3}
+    # doc 1: 6 distinct 4-grams, exactly one ("w x y z") in bench
+    assert got[1].n_grams == 6 and got[1].n_hit == 1
+    assert abs(got[1].hit_frac - 1 / 6) < 1e-12
+    # doc 3: single gram, fully contaminated
+    assert got[3].n_grams == 1 and got[3].n_hit == 1
+    assert got[3].hit_frac == 1.0

@@ -396,3 +396,26 @@ def test_windowed_rollup_partial_aggregation(spark, pages_path):
     assert plan.count("HashAggregate") >= 2, plan
     assert plan.count("Exchange") == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_contamination_plan_broadcasts_bench(spark, pages_path):
+    """The benchmark gram-hash set must broadcast (eval sets are MBs vs
+    a 100 TB corpus) and the corpus side must reach the join without a
+    shuffle: the only Exchange in the plan is the post-join groupBy of
+    MATCHED rows (plus the broadcast exchange itself)."""
+    from jschon_spark.operators import decontam
+
+    docs = spark.read.parquet(pages_path).select(
+        F.col("url").alias("doc_id"), F.col("text")
+    )
+    bench = docs.limit(20)
+    rep = decontam.contamination_report(docs, bench, n=4)
+    plan = plan_of(rep)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    # corpus side: scan -> generate(explode) -> project -> join with no
+    # Exchange in between (shuffle exchanges appear only after the join
+    # for the matched-row groupBy)
+    pre_join = plan.split("BroadcastHashJoin")[0]
+    n_shuffle = pre_join.count("Exchange hashpartitioning")
+    assert n_shuffle == 0, plan
