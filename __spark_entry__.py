@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": Q.repetition_docs,
         # GPT-3-style benchmark decontamination (round 5)
         "contamination_docs": Q.contamination_docs,
+        # regex PII detection + redaction (round 5)
+        "pii_docs": Q.pii_docs,
     }
 
 
@@ -608,6 +610,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_grams, n_hit,
                    CAST(n_hit AS DOUBLE) / n_grams AS hit_frac
             FROM hits
+        """,
+        # replays textqa.pii_features over the same planted-PII text:
+        # RE2 and Java agree on these ASCII full-match patterns
+        "pii_docs": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 13 = 0 THEN
+                         ' contact alice.' || CAST(doc_id AS VARCHAR)
+                         || '@example.org now'
+                       WHEN doc_id % 13 = 5 THEN
+                         ' server 192.168.' || CAST(doc_id % 250 AS VARCHAR)
+                         || '.17 port'
+                       WHEN doc_id % 13 = 9 THEN
+                         ' call 415-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         || ' today'
+                       ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   coalesce(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+                     0) AS n_email,
+                   coalesce(len(regexp_extract_all(text,
+                     '\b\d{1,3}(?:\.\d{1,3}){3}\b')), 0) AS n_ipv4,
+                   coalesce(len(regexp_extract_all(text,
+                     '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')), 0) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IPV4>', 'g'),
+                     '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')
+                     AS pii_redacted
+            FROM planted
         """,
         # exact interpolated quantiles: Spark percentile and DuckDB
         # quantile_cont both use the (n-1)*p linear-interpolation rule

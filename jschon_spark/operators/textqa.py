@@ -164,3 +164,37 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(n > 0, _max_run(toks) / n).otherwise(F.lit(0.0)),
         )
     )
+
+
+# Engine-portable PII patterns: ASCII-only, no backreferences, no
+# lookaround — the same source string compiles identically under
+# Java's regex (Spark) and RE2 (DuckDB/Trino), so a SQL oracle can
+# replay counts and redaction verbatim. Public technique (standard
+# regex PII scrubbing, e.g. the C4 / CCNet cleanup passes).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}(?:\.\d{1,3}){3}\b",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII counts + redacted text — row-local regex Column
+    algebra, no UDF, no shuffle: scan -> project at any corpus size.
+
+    Adds ``n_email, n_ipv4, n_phone`` (non-overlapping full-match
+    counts) and ``pii_redacted`` (matches replaced by ``<EMAIL>`` /
+    ``<IPV4>`` / ``<PHONE>`` in that fixed order, so an IP inside an
+    email's domain is consumed by the email redaction first)."""
+    c = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.coalesce(F.regexp_count(c, F.lit(pat)).cast("bigint"),
+                       F.lit(0).cast("bigint")),
+        )
+    red = c
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn("pii_redacted", red)

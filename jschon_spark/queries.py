@@ -1165,3 +1165,39 @@ def contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__nt")
     )
     return decontam.contamination_report(docs, bench, n=8)
+
+
+def pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction over documents. The corpus text is
+    synthetic word soup, so deterministic PII is planted by the SAME
+    string expression in Spark and in the DuckDB oracle (doc_id % 13
+    selects email / IP / phone variants); the operator itself is
+    row-local regex algebra (textqa.pii_features) — scan -> project,
+    shape-identical at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" contact alice."),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.org now")),
+            ).when(
+                F.col("doc_id") % 13 == 5,
+                F.concat(F.lit(" server 192.168."),
+                         (F.col("doc_id") % 250).cast("string"),
+                         F.lit(".17 port")),
+            ).when(
+                F.col("doc_id") % 13 == 9,
+                F.concat(F.lit(" call 415-555-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                4, "0"),
+                         F.lit(" today")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return textqa.pii_features(planted).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "pii_redacted"
+    )

@@ -562,3 +562,29 @@ def test_contamination_report_planted(spark):
     # doc 3: single gram, fully contaminated
     assert got[3].n_grams == 1 and got[3].n_hit == 1
     assert got[3].hit_frac == 1.0
+
+
+def test_pii_features_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and carol.x+1@sub.example.org end"),
+            (2, "host 10.0.0.1 and 192.168.3.17 up"),
+            (3, "call 415-555-0123 or 415 555 9999"),
+            # the IP-ish domain is consumed by the email redaction first
+            (4, "a@10.1.1.1.com"),
+            (5, "clean text only"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in textqa.pii_features(df).collect()}
+    assert got[1].n_email == 2 and got[1].n_ipv4 == 0
+    assert "<EMAIL>" in got[1].pii_redacted
+    assert "bob@" not in got[1].pii_redacted
+    assert got[2].n_ipv4 == 2 and "<IPV4>" in got[2].pii_redacted
+    assert got[3].n_phone == 2
+    assert got[4].n_email == 1
+    assert "<IPV4>" not in got[4].pii_redacted  # email won the overlap
+    assert got[5].n_email == got[5].n_ipv4 == got[5].n_phone == 0
+    assert got[5].pii_redacted == "clean text only"
+    assert got[6].n_email == 0 and got[6].pii_redacted is None
