@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_docs": Q.contamination_docs,
         # regex PII detection + redaction (round 5)
         "pii_docs": Q.pii_docs,
+        # native session-window sessionization (round 5)
+        "sessionize_events": Q.sessionize_events,
     }
 
 
@@ -645,6 +647,32 @@ def oracle_sql() -> dict[str, str]:
                      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')
                      AS pii_redacted
             FROM planted
+        """,
+        # gaps-and-islands replay of session_window: a delta STRICTLY
+        # greater than the 30-min gap opens a session (== gap merges —
+        # Spark coalesces touching [ts, ts+gap] intervals)
+        "sessionize_events": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o
+            )
+            SELECT user_id,
+                   min(epoch_us(ts)) AS session_start_us,
+                   count(*) AS n_events,
+                   max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+                   sum(value) AS total_value
+            FROM s GROUP BY user_id, sess
         """,
         # exact interpolated quantiles: Spark percentile and DuckDB
         # quantile_cont both use the (n-1)*p linear-interpolation rule

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jschon_spark.engine import ConstraintEngine
-from jschon_spark.operators import decontam, dedup, drift, referential, similarity, stats, textqa, uniqueness
+from jschon_spark.operators import decontam, dedup, drift, referential, sessions, similarity, stats, textqa, uniqueness
 
 # The flagship document schema applied to the driver's `documents`
 # table (doc_id, text, lang, source, n_chars) — one keyword from each
@@ -1201,3 +1201,14 @@ def pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textqa.pii_features(planted).select(
         "doc_id", "n_email", "n_ipv4", "n_phone", "pii_redacted"
     )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream via Spark's
+    NATIVE session_window aggregation (same expression batch and
+    streaming): one hash exchange on user_id, then the session-merge
+    agg — the 100 TB plan. The DuckDB oracle replays Spark's measured
+    merge boundary (delta > gap opens a session; == gap merges) with
+    gaps-and-islands window functions."""
+    events = load(spark, sf_dir, "events")
+    return sessions.sessionize(events, gap="30 minutes")

@@ -7,7 +7,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from jschon_spark.operators import dedup, drift, referential, similarity, stats, textqa, uniqueness
+from jschon_spark.operators import dedup, drift, referential, sessions, similarity, stats, textqa, uniqueness
 
 
 @pytest.fixture(scope="module")
@@ -588,3 +588,31 @@ def test_pii_features_counts_and_redaction(spark):
     assert got[5].n_email == got[5].n_ipv4 == got[5].n_phone == 0
     assert got[5].pii_redacted == "clean text only"
     assert got[6].n_email == 0 and got[6].pii_redacted is None
+
+
+def test_sessionize_gap_boundary_hand_computed(spark):
+    # user 1: deltas 10min, EXACTLY 30min (merges: Spark coalesces
+    # touching [ts, ts+gap] intervals), then 30min+1us (splits).
+    # user 2: one lone event.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 00:40:00", 4.0),          # == gap -> same session
+        (1, "2024-01-01 01:10:00.000001", 8.0),   # > gap -> new session
+        (2, "2024-01-01 05:00:00", 16.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        sessions.sessionize(df, gap="30 minutes").collect(),
+        key=lambda r: (r.user_id, r.session_start_us),
+    )
+    base = 1704067200_000000  # 2024-01-01T00:00:00Z in epoch micros
+    assert [
+        (r.user_id, r.session_start_us, r.n_events, r.span_us, r.total_value)
+        for r in got
+    ] == [
+        (1, base, 3, 40 * 60_000_000, 7.0),
+        (1, base + 70 * 60_000_000 + 1, 1, 0, 8.0),
+        (2, base + 5 * 3600_000_000, 1, 0, 16.0),
+    ]
