@@ -170,6 +170,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_docs": Q.pii_docs,
         # native session-window sessionization (round 5)
         "sessionize_events": Q.sessionize_events,
+        # webtext curation family (round 5): CCNet line dedup, C4
+        # cleaning, deterministic stratified sampling, domain caps,
+        # sequence packing
+        "line_dedup_docs": Q.line_dedup_docs,
+        "c4_filter_docs": Q.c4_filter_docs,
+        "sample_stratified_docs": Q.sample_stratified_docs,
+        "source_caps_docs": Q.source_caps_docs,
+        "pack_token_bins_docs": Q.pack_token_bins_docs,
     }
 
 
@@ -673,6 +681,113 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
                    sum(value) AS total_value
             FROM s GROUP BY user_id, sess
+        """,
+        # CCNet line dedup: drop lines in >= 30 distinct docs (the
+        # planted boilerplate footers), reassemble in order; the
+        # oracle replays the md5-keyed frequency + anti-join
+        "line_dedup_docs": f"""
+            WITH planted AS ({Q._PLANT_LINES_SQL}),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(generate_series(
+                       1, len(string_split(text, chr(10))))) AS pos
+              FROM planted
+            ), freq AS (
+              SELECT md5(line) AS h FROM lines
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 30
+            ), kept AS (
+              SELECT l.doc_id, l.pos, l.line FROM lines l
+              ANTI JOIN freq f ON md5(l.line) = f.h
+            )
+            SELECT t.doc_id, t.n_lines,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   coalesce(k.text_dedup, '') AS text_dedup
+            FROM (SELECT doc_id, count(*) AS n_lines
+                  FROM lines GROUP BY 1) t
+            LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                              string_agg(line, chr(10) ORDER BY pos)
+                                AS text_dedup
+                       FROM kept GROUP BY 1) k USING (doc_id)
+        """,
+        # C4 heuristic cleaning: line-level terminal-punct / >=5-word
+        # / no-javascript filter + doc-level lorem/brace rejection
+        "c4_filter_docs": """
+            WITH planted AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 3 = 0 THEN text || '.'
+                           ELSE text END)
+                     || (CASE WHEN doc_id % 17 = 0
+                              THEN chr(10) || 'Lorem Ipsum dolor sit amet'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 19 = 0
+                              THEN chr(10) || 'function() { return 0; }'
+                              ELSE '' END)
+                     || (CASE WHEN doc_id % 23 = 5
+                              THEN chr(10) || 'Please enable JavaScript'
+                                   || ' to view this site properly.'
+                              ELSE '' END) AS text
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS ls,
+                     list_filter(
+                       string_split(text, chr(10)),
+                       l -> regexp_matches(l, '[.!?"]$')
+                            AND len(string_split(l, ' ')) >= 5
+                            AND NOT contains(lower(l), 'javascript')
+                     ) AS kept,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(text, '{') AS has_brace
+              FROM planted
+            )
+            SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept_lines,
+                   has_lorem, has_brace,
+                   (NOT has_lorem AND NOT has_brace AND len(kept) >= 1)
+                     AS c4_passed,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                     AS text_clean
+            FROM f
+        """,
+        # deterministic md5-keyed stratified Bernoulli sample:
+        # thresholds are floor(rate * 16^8) in 8 hex digits
+        "sample_stratified_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(cast(doc_id AS varchar)), 1, 8) <
+                  CASE lang WHEN 'en' THEN '80000000'
+                            WHEN 'de' THEN '40000000'
+                            WHEN 'fr' THEN '40000000'
+                            ELSE '0ccccccc' END
+        """,
+        # domain caps: top-5 per source by n_chars desc, doc_id asc
+        "source_caps_docs": """
+            SELECT doc_id, source, n_chars, rank FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id)
+                       AS rank
+              FROM documents)
+            WHERE rank <= 5
+        """,
+        # sequence packing: contiguous 2048-token bins per lang in
+        # doc_id order; bin = floor(tokens_before / budget)
+        "pack_token_bins_docs": """
+            WITH t AS (
+              SELECT lang, doc_id,
+                     len(string_split(text, ' ')) AS n_tokens
+              FROM documents
+            ), b AS (
+              SELECT lang, n_tokens,
+                     CAST(floor(
+                       (sum(n_tokens) OVER (PARTITION BY lang
+                                            ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) / 2048.0) AS BIGINT) AS bin
+              FROM t
+            )
+            SELECT lang, bin, count(*) AS n_docs,
+                   sum(n_tokens) AS total_tokens
+            FROM b GROUP BY 1, 2
         """,
         # exact interpolated quantiles: Spark percentile and DuckDB
         # quantile_cont both use the (n-1)*p linear-interpolation rule

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jschon_spark.engine import ConstraintEngine
-from jschon_spark.operators import decontam, dedup, drift, referential, sessions, similarity, stats, textqa, uniqueness
+from jschon_spark.operators import decontam, dedup, drift, referential, sessions, similarity, stats, textqa, uniqueness, webtext
 
 # The flagship document schema applied to the driver's `documents`
 # table (doc_id, text, lang, source, n_chars) — one keyword from each
@@ -1212,3 +1212,107 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands window functions."""
     events = load(spark, sf_dir, "events")
     return sessions.sessionize(events, gap="30 minutes")
+
+
+def _plant_lines(docs: DataFrame) -> DataFrame:
+    """Multi-line corpus for the line-level webtext ops: the word-soup
+    docs are single-line, so boilerplate footers are planted by the
+    SAME expression in Spark and in the DuckDB oracle — four shared
+    footers (doc_id % 7 in 0..3, each landing in ~1/7 of the corpus)
+    plus a per-doc unique footer, and a second shared footer every
+    11th doc."""
+    footer = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("subscribe to our newsletter today"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("all rights reserved worldwide"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("click here to accept cookies"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("share this page with friends"))
+        .otherwise(
+            F.concat(F.lit("note "), F.col("doc_id").cast("string"),
+                     F.lit(" unique footer"))
+        )
+    )
+    extra = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("\n"), F.lit("all rights reserved worldwide")),
+    ).otherwise(F.lit(""))
+    return docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit("\n"), footer, extra)
+    )
+
+
+_PLANT_LINES_SQL = """
+            SELECT doc_id, text || chr(10) ||
+                   CASE doc_id % 7
+                     WHEN 0 THEN 'subscribe to our newsletter today'
+                     WHEN 1 THEN 'all rights reserved worldwide'
+                     WHEN 2 THEN 'click here to accept cookies'
+                     WHEN 3 THEN 'share this page with friends'
+                     ELSE 'note ' || cast(doc_id AS varchar)
+                          || ' unique footer'
+                   END ||
+                   CASE WHEN doc_id % 11 = 0
+                        THEN chr(10) || 'all rights reserved worldwide'
+                        ELSE '' END AS text
+            FROM documents
+"""
+
+
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line dedup over the planted multi-line
+    corpus: lines occurring in >= 30 distinct docs (the four shared
+    boilerplate footers) are dropped everywhere; unique lines survive.
+    Frequency groups on md5(line) — 16-byte exchange keys — and the
+    tiny frequent set rides an AQE-broadcast anti-join. 100 TB shape."""
+    docs = load(spark, sf_dir, "documents")
+    return webtext.line_dedup(_plant_lines(docs), min_docs=30)
+
+
+def c4_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning (terminal-punctuation lines, >= 5 words,
+    no javascript mention; doc-level lorem-ipsum / curly-brace
+    rejection) — row-local HOF algebra, zero shuffles. Deterministic
+    trigger content is planted by the same expression both engines."""
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.col("text"), F.lit("."))).otherwise(F.col("text")),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit("\nLorem Ipsum dolor sit amet")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 19 == 0,
+                   F.lit("\nfunction() { return 0; }")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 23 == 5,
+                   F.lit("\nPlease enable JavaScript to view this site properly."),
+                   ).otherwise(F.lit("")),
+        ),
+    )
+    return webtext.c4_clean(planted, min_words=5, min_kept_lines=1)
+
+
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed stratified Bernoulli sample (en 50%,
+    de/fr 25%, default 5%): zero shuffles, reproducible across engines
+    and cluster sizes — re-running any partition keeps the same rows."""
+    docs = load(spark, sf_dir, "documents")
+    return webtext.stratified_sample(
+        docs, rates={"en": 0.5, "de": 0.25, "fr": 0.25}, default_rate=0.05
+    ).select("doc_id", "lang")
+
+
+def source_caps_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain caps: top-5 docs per source by n_chars (doc_id tiebreak)
+    — one exchange on source, per-partition top-k under the rank
+    filter, output bounded at 5 rows/key regardless of skew."""
+    docs = load(spark, sf_dir, "documents")
+    return webtext.per_key_cap(docs, k=5).select(
+        "doc_id", "source", "n_chars", "rank"
+    )
+
+
+def pack_token_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: contiguous 2048-token bins per lang in
+    doc_id order (bin = floor(tokens_before / budget)) — one exchange
+    per stratum + a running sum, no iterative repacking."""
+    docs = load(spark, sf_dir, "documents")
+    return webtext.pack_token_bins(docs, budget=2048)

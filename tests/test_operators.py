@@ -616,3 +616,99 @@ def test_sessionize_gap_boundary_hand_computed(spark):
         (1, base + 70 * 60_000_000 + 1, 1, 0, 8.0),
         (2, base + 5 * 3600_000_000, 1, 0, 16.0),
     ]
+
+
+def test_line_dedup_drops_frequent_keeps_order(spark):
+    from jschon_spark.operators import webtext
+
+    rows = [
+        (1, "unique one\nBOILER\nunique two"),
+        (2, "BOILER\nother text"),
+        (3, "BOILER"),                 # all lines boilerplate -> empty
+        (4, "solo line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in webtext.line_dedup(df, min_docs=3).collect()}
+    assert len(got) == 4
+    assert (got[1].n_lines, got[1].n_kept) == (3, 2)
+    assert got[1].text_dedup == "unique one\nunique two"  # order preserved
+    assert got[2].text_dedup == "other text"
+    assert (got[3].n_kept, got[3].text_dedup) == (0, "")
+    assert got[4].text_dedup == "solo line"
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    from jschon_spark.operators import webtext
+
+    rows = [
+        (1, "this line has five words.\nshort one.\nno punct at all here\n"
+            "enable javascript to see this."),
+        (2, "contains lorem ipsum sadly but is otherwise a fine sentence."),
+        (3, "code { return } here with a good long sentence to spare."),
+        (4, "nothing qualifies here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in webtext.c4_clean(df).collect()}
+    # doc 1: only the first line survives (short one. has 2 words; the
+    # javascript line is dropped despite punct+length)
+    assert (got[1].n_lines, got[1].n_kept_lines) == (4, 1)
+    assert got[1].text_clean == "this line has five words."
+    assert got[1].c4_passed
+    assert got[2].has_lorem and not got[2].c4_passed
+    assert got[3].has_brace and not got[3].c4_passed
+    assert got[4].n_kept_lines == 0 and not got[4].c4_passed
+
+
+def test_stratified_sample_rates_and_monotonicity(spark):
+    from jschon_spark.operators import webtext
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    full = webtext.stratified_sample(df, rates={"en": 1.0}, default_rate=0.0)
+    ids = {r.doc_id for r in full.collect()}
+    assert ids == {i for i in range(400) if i % 2 == 0}  # all en, no de
+    lo = {r.doc_id for r in
+          webtext.stratified_sample(df, rates={"en": 0.2, "de": 0.2},
+                                    default_rate=0.0).collect()}
+    hi = {r.doc_id for r in
+          webtext.stratified_sample(df, rates={"en": 0.6, "de": 0.6},
+                                    default_rate=0.0).collect()}
+    assert lo <= hi          # nested samples: same hash, higher threshold
+    assert 0 < len(lo) < len(hi) < 400
+
+
+def test_per_key_cap_and_tiebreak(spark):
+    from jschon_spark.operators import webtext
+
+    rows = [("a", 10, i) for i in range(8)] + [("b", 5, 100), ("b", 7, 101)]
+    df = spark.createDataFrame(rows, "source string, n_chars long, doc_id long")
+    got = webtext.per_key_cap(df, k=3).collect()
+    by_key: dict[str, list] = {}
+    for r in got:
+        by_key.setdefault(r.source, []).append(r)
+    assert len(by_key["a"]) == 3
+    # equal n_chars -> doc_id ascending wins the tie
+    assert sorted(r.doc_id for r in by_key["a"]) == [0, 1, 2]
+    assert [r.doc_id for r in sorted(by_key["b"], key=lambda r: r.rank)] == [101, 100]
+
+
+def test_pack_token_bins_hand_computed(spark):
+    from jschon_spark.operators import webtext
+
+    # en docs of 3,4,5,6 tokens in doc_id order, budget 8:
+    # before-sums 0,3,7,12 -> bins 0,0,0,1
+    rows = [
+        (0, "a b c", "en"),
+        (1, "a b c d", "en"),
+        (2, "a b c d e", "en"),
+        (3, "a b c d e f", "en"),
+        (4, "x y", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r.lang, r.bin): r for r in
+           webtext.pack_token_bins(df, budget=8).collect()}
+    assert (got[("en", 0)].n_docs, got[("en", 0)].total_tokens) == (3, 12)
+    assert (got[("en", 1)].n_docs, got[("en", 1)].total_tokens) == (1, 6)
+    assert (got[("de", 0)].n_docs, got[("de", 0)].total_tokens) == (1, 2)
