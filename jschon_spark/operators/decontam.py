@@ -22,16 +22,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jschon_spark.operators import _partitions
+from jschon_spark.operators._hof import fence
 from jschon_spark.operators.dedup import md5_hash60, normalized
 from jschon_spark.operators.textqa import tokens
 
 
-def strict_shingles(col: Column, n: int) -> Column:
-    """Distinct space-joined word n-grams of the lower/whitespace-
-    normalized text; EMPTY array (not a whole-text fallback — unlike
-    ``dedup.word_shingles``) when the text has fewer than ``n``
-    tokens, so short rows simply produce no candidate grams."""
-    toks = tokens(normalized(col))
+def strict_shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct space-joined word n-grams from a token array; EMPTY
+    array (not a whole-text fallback — unlike
+    ``dedup.shingles_from_tokens``) when there are fewer than ``n``
+    tokens, so short rows simply produce no candidate grams. Pass a
+    materialized column (operators/_hof.py)."""
     k = F.size(toks) - (n - 1)
     return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
@@ -41,6 +43,12 @@ def strict_shingles(col: Column, n: int) -> Column:
             )
         )
     )
+
+
+def strict_shingles(col: Column, n: int) -> Column:
+    """Convenience form over a raw text column (small inputs only —
+    the corpus path materializes tokens first)."""
+    return strict_shingles_from_tokens(tokens(normalized(col)), n)
 
 
 def contamination_report(
@@ -62,10 +70,23 @@ def contamination_report(
     ``doc_id, n_grams (distinct grams in the doc), n_hit (grams also
     in the benchmark set), hit_frac``.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        strict_shingles(F.col(text_col), n).alias("g"),
-    ).withColumn("n_grams", F.size("g").cast("bigint"))
+    # fan out a tiny scan (CPU-bound shingling), materialize tokens
+    # then grams in pinned projections so the slice lambda indexes a
+    # bound array (O(k^2) -> O(k) per row, operators/_hof.py) and
+    # size/explode don't re-evaluate the gram build
+    base = (
+        _partitions.fan_out(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        )
+        .select(
+            "doc_id", fence(tokens(normalized(F.col("__t")))).alias("__tk")
+        )
+        .select(
+            "doc_id",
+            fence(strict_shingles_from_tokens(F.col("__tk"), n)).alias("g"),
+        )
+        .withColumn("n_grams", F.size("g").cast("bigint"))
+    )
     exploded = base.select(
         "doc_id", "n_grams", F.explode("g").alias("gram")
     ).select("doc_id", "n_grams", hash_fn(F.col("gram")).alias("h"))

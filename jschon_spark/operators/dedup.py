@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from jschon_spark.operators import _cachereg, _partitions
+from jschon_spark.operators._hof import fence
 
 from jschon_spark.operators.textqa import tokens
 
@@ -58,9 +59,13 @@ def exact_duplicate_groups(
     )
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of the normalized text (array<string>)."""
-    toks = tokens(normalized(col))
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a token array (array<string>).
+
+    Pass a MATERIALIZED column (not the raw ``split`` expression): the
+    per-shingle ``F.slice(toks, i, n)`` lambda re-evaluates whatever
+    ``toks`` is per element — a bound attribute is O(1), a split
+    subtree turns the build O(tokens^2) (see operators/_hof.py)."""
     k = F.size(toks) - (n - 1)
     return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
         F.array_distinct(
@@ -70,6 +75,15 @@ def word_shingles(col: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text (array<string>).
+
+    Convenience form over a raw text column — pipelines that build
+    shingles for EVERY row should materialize the token array first
+    and call ``shingles_from_tokens`` (see the minhash pipeline)."""
+    return shingles_from_tokens(tokens(normalized(col)), n)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
@@ -116,8 +130,13 @@ def minhash_near_duplicates(
     """
     rows_per_band = num_hashes // bands
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+    # materialize tokens, then shingles, in separate pinned projections
+    # — the slice lambda then indexes a bound array instead of
+    # re-splitting the text per shingle (O(k^2) -> O(k), _hof.py)
     base = base.select(
-        "id", word_shingles(F.col("__t"), shingle_n).alias("sh")
+        "id", fence(tokens(normalized(F.col("__t")))).alias("__tk")
+    ).select(
+        "id", fence(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     # the signature relation feeds three branches (banding + both sides
     # of the verify join); without persist each branch would recompute
@@ -206,8 +225,13 @@ def minhash_near_duplicates_portable(
     """
     rows_per_band = num_hashes // bands
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")))
+    # materialize tokens, then shingles, in separate pinned projections
+    # — the slice lambda then indexes a bound array instead of
+    # re-splitting the text per shingle (O(k^2) -> O(k), _hof.py)
     base = base.select(
-        "id", word_shingles(F.col("__t"), shingle_n).alias("sh")
+        "id", fence(tokens(normalized(F.col("__t")))).alias("__tk")
+    ).select(
+        "id", fence(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("sh")
     ).withColumn(
         "sig",
         F.array(
@@ -276,7 +300,10 @@ def ngram_jaccard_pairs(
     """All-pairs exact n-gram Jaccard ≥ threshold (test scale only:
     O(n²) cross join — the LSH variant is the scale path)."""
     base = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col).alias("id"),
+        fence(tokens(normalized(F.col(text_col)))).alias("__tk"),
+    ).select(
+        "id", fence(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("sh")
     )
     l, r = base.alias("l"), base.alias("r")
     jac = jaccard(F.col("l.sh"), F.col("r.sh"))

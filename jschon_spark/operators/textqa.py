@@ -142,11 +142,19 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n-grams that are repeats), top_token_frac (occurrences of the most
     frequent token over all tokens; token-count-based rather than
     Gopher's character-mass variant)."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    g2 = _ngram_join(toks, 2)
-    g3 = _ngram_join(toks, 3)
-    n2, n3 = F.size(g2), F.size(g3)
+    # Bind each array ONCE per row (see operators/_hof.py: interpreted
+    # HOF lambdas re-evaluate captured subtrees per element — O(k^2) —
+    # and CollapseProject re-inlines aliased arrays into every
+    # consumer). Measured 16x on sf0.1.
+    from jschon_spark.operators._hof import fence
+
+    tmp = (
+        df.withColumn("__toks", fence(tokens(F.col(text_col))))
+        .withColumn("__g2", fence(_ngram_join(F.col("__toks"), 2)))
+        .withColumn("__g3", fence(_ngram_join(F.col("__toks"), 3)))
+    )
+    toks, g2, g3 = F.col("__toks"), F.col("__g2"), F.col("__g3")
+    n, n2, n3 = F.size(toks), F.size(g2), F.size(g3)
 
     def dup_frac(arr: Column, size_col: Column) -> Column:
         return F.when(
@@ -154,15 +162,15 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             (size_col - F.size(F.array_distinct(arr))) / size_col,
         ).otherwise(F.lit(0.0))
 
-    return (
-        df.withColumn("rep_n_tokens", F.coalesce(n, F.lit(0)))
-        .withColumn("dup_token_frac", dup_frac(toks, n))
-        .withColumn("dup_2gram_frac", dup_frac(g2, n2))
-        .withColumn("dup_3gram_frac", dup_frac(g3, n3))
-        .withColumn(
-            "top_token_frac",
-            F.when(n > 0, _max_run(toks) / n).otherwise(F.lit(0.0)),
-        )
+    return tmp.select(
+        *df.columns,
+        F.coalesce(n, F.lit(0)).alias("rep_n_tokens"),
+        dup_frac(toks, n).alias("dup_token_frac"),
+        dup_frac(g2, n2).alias("dup_2gram_frac"),
+        dup_frac(g3, n3).alias("dup_3gram_frac"),
+        F.when(n > 0, _max_run(toks) / n)
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
     )
 
 

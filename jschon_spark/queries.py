@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jschon_spark.engine import ConstraintEngine
-from jschon_spark.operators import decontam, dedup, drift, referential, sessions, similarity, stats, textqa, uniqueness, webtext
+from jschon_spark.operators import _partitions, decontam, dedup, drift, referential, sessions, similarity, stats, textqa, uniqueness, webtext
 
 # The flagship document schema applied to the driver's `documents`
 # table (doc_id, text, lang, source, n_chars) — one keyword from each
@@ -1038,7 +1038,9 @@ def media_decode_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-exact decode checks: tests/test_examples.py:25-28."""
     import pandas as pd
 
-    docs = load(spark, sf_dir, "documents").select("doc_id").coalesce(8)
+    # fan_out, not coalesce: a tiny parquet arrives as ONE split and
+    # coalesce can only shrink — the decode pass is pure CPU
+    docs = _partitions.fan_out(load(spark, sf_dir, "documents").select("doc_id"))
 
     def gen(batches):
         import struct
@@ -1137,7 +1139,9 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF, scan→project only, so the plan is shape-identical at
     100 TB. The DuckDB oracle recomputes every fraction with list
     functions + an unnest/group-by for the top-token count."""
-    docs = load(spark, sf_dir, "documents")
+    # CPU-bound row-local HOF algebra over a tiny single-split scan —
+    # fan out first (no-op at scale, operators/_partitions.py)
+    docs = _partitions.fan_out(load(spark, sf_dir, "documents"))
     return textqa.repetition_features(docs).select(
         "doc_id", "rep_n_tokens", "dup_token_frac", "dup_2gram_frac",
         "dup_3gram_frac", "top_token_frac",
@@ -1173,8 +1177,9 @@ def pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     string expression in Spark and in the DuckDB oracle (doc_id % 13
     selects email / IP / phone variants); the operator itself is
     row-local regex algebra (textqa.pii_features) — scan -> project,
-    shape-identical at 100 TB."""
-    docs = load(spark, sf_dir, "documents")
+    shape-identical at 100 TB. Regex is CPU-bound, so the tiny
+    single-split scan fans out first (no-op at scale)."""
+    docs = _partitions.fan_out(load(spark, sf_dir, "documents"))
     planted = docs.withColumn(
         "text",
         F.concat(
