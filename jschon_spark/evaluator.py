@@ -215,7 +215,63 @@ FORMAT_VALIDATORS: dict[str, tuple[Callable[[Any], bool], tuple[str, ...]]] = {
     "email": (lambda v: bool(_EMAIL_RE.match(v)), ("string",)),
     "duration": (lambda v: bool(_DURATION_RE.match(v)), ("string",)),
     "relative-json-pointer": (lambda v: bool(_REL_PTR_RE.match(v)), ("string",)),
+    # round 5: the remaining 2020-12 format-vocabulary names, pragmatic
+    # RFC 3986/3987/6570/5890 forms — the regex SOURCE STRINGS are
+    # shared verbatim with lowering/columns.py's _FORMAT_REGEX (they
+    # avoid \s and \w, whose unicode semantics differ between Python
+    # re and Java), so both paths compile the identical pattern;
+    # idn-hostname is per-label Python logic with a \p{L}\p{N} Java
+    # twin (agreement pinned by the conformance corpus's literal
+    # expectations)
+    "uri-reference": (lambda v: bool(re.fullmatch(URI_REFERENCE_PATTERN, v)), ("string",)),
+    "iri": (lambda v: bool(re.fullmatch(IRI_PATTERN, v)), ("string",)),
+    "iri-reference": (lambda v: bool(re.fullmatch(IRI_REFERENCE_PATTERN, v)), ("string",)),
+    "uri-template": (lambda v: bool(re.fullmatch(URI_TEMPLATE_PATTERN, v)), ("string",)),
+    "idn-email": (lambda v: bool(re.fullmatch(IDN_EMAIL_PATTERN, v)), ("string",)),
+    "idn-hostname": (lambda v: _fmt_idn_hostname(v), ("string",)),
 }
+
+# RFC 3986 pchar-superset (any URI component character or %-escape)
+_URI_CHAR = r"(?:%[0-9A-Fa-f]{2}|[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=])"
+# RFC 3987 adds ucschar (>= U+00A0); pragmatically: any non-ASCII
+_IRI_CHAR = r"(?:%[0-9A-Fa-f]{2}|[A-Za-z0-9\-._~:/?#\[\]@!$&'()*+,;=]|[^\x00-\x7F])"
+URI_REFERENCE_PATTERN = rf"{_URI_CHAR}*"
+IRI_PATTERN = rf"(?=[A-Za-z][A-Za-z0-9+.-]*:){_IRI_CHAR}*"
+IRI_REFERENCE_PATTERN = rf"{_IRI_CHAR}*"
+# RFC 6570: literals (no braces/controls/space) and {op? varspec,+}
+_TPL_VAR = r"(?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2})(?:\.?(?:[A-Za-z0-9_]|%[0-9A-Fa-f]{2}))*"
+_TPL_SPEC = rf"{_TPL_VAR}(?:\*|:[1-9][0-9]{{0,3}})?"
+URI_TEMPLATE_PATTERN = (
+    rf"(?:[^{{}}\x00-\x20\x7F]|\{{[+#./;?&=,!@|]?{_TPL_SPEC}(?:,{_TPL_SPEC})*\}})*"
+)
+# controls/space/DEL excluded explicitly (NOT \s: Java \s is
+# ASCII-only, Python's is unicode — U+00A0 must be LEGAL both sides)
+IDN_EMAIL_PATTERN = (
+    r"[^@\x00-\x20\x7F]+@[^@\x00-\x20\x7F]+\.[^@\x00-\x20\x7F]+"
+)
+
+
+def _fmt_idn_hostname(v: str) -> bool:
+    """Pragmatic RFC 5890 internationalized hostname: dot-separated
+    labels of 1-63 code points, letters/digits (any script, unicode
+    L*/N* — matching Java's \\p{L}\\p{N} in the Column twin) plus
+    non-edge hyphens, total length <= 253."""
+    if not v or len(v) > 253:
+        return False
+    for lab in v.split("."):
+        if not lab or len(lab) > 63:
+            return False
+        if lab[0] == "-" or lab[-1] == "-":
+            return False
+        for ch in lab:
+            if ch == "-":
+                continue
+            if ord(ch) < 128:
+                if not (ch.isascii() and ch.isalnum()):
+                    return False
+            elif not ch.isalnum():
+                return False
+    return True
 
 _HOSTNAME_RE = re.compile(
     r"^(?=.{1,253}$)([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)*"

@@ -29,6 +29,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from jschon_spark.evaluator import (
+    IDN_EMAIL_PATTERN,
+    IRI_PATTERN,
+    IRI_REFERENCE_PATTERN,
+    URI_REFERENCE_PATTERN,
+    URI_TEMPLATE_PATTERN,
+)
 from jschon_spark.schema.catalog import SchemaCatalog, pointer_escape
 
 VIOLATION_TYPE = T.StructType(
@@ -1184,6 +1191,20 @@ class ColumnLowerer:
         "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
         "duration": r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$",
         "relative-json-pointer": r"^(0|[1-9][0-9]*)(#|(/([^~/]|~[01])*)*)$",
+        # round 5: remaining 2020-12 vocabulary names — the SAME source
+        # strings the evaluator compiles (evaluator.py defines them
+        # avoiding \s/\w so Java and Python read them identically);
+        # idn-hostname is the \p{L}\p{N} Java twin of the evaluator's
+        # per-label check (same label grammar, same length caps)
+        "uri-reference": f"^{URI_REFERENCE_PATTERN}$",
+        "iri": f"^{IRI_PATTERN}$",
+        "iri-reference": f"^{IRI_REFERENCE_PATTERN}$",
+        "uri-template": f"^{URI_TEMPLATE_PATTERN}$",
+        "idn-email": f"^{IDN_EMAIL_PATTERN}$",
+        "idn-hostname": (
+            r"^(?=.{1,253}$)([\p{L}\p{N}]([\p{L}\p{N}-]{0,61}[\p{L}\p{N}])?\.)*"
+            r"[\p{L}\p{N}]([\p{L}\p{N}-]{0,61}[\p{L}\p{N}])?$"
+        ),
     }
 
     @classmethod

@@ -357,6 +357,24 @@ def test_format_column_forms_match_python_validators(spark):
                  "10:00:00+24:00", "00:00:00-23:59"],
         "ipv4": ["01.1.1.1", "0.0.0.0", "255.255.255.255", "1.1.1.1.1"],
         "uuid": ["123E4567-E89B-12D3-A456-426614174000", "xyz"],
+        # round-5 additions: the remaining 2020-12 vocabulary names —
+        # shared pattern source strings, plus the idn-hostname
+        # python-logic/Java-\p{L}\p{N} twin (incl. U+00A0, which Java
+        # \s would pass but Python \s would reject — both sides must
+        # treat it as LEGAL iri / ILLEGAL idn-email-local edge checks)
+        "uri-reference": ["/a/b", "", "a:b", "a b", "%zz", "p%20q"],
+        "iri": ["http://exämple.org/päth", "exämple.org/path",
+                "http://e.org/a b", "mailto:üser@e.org",
+                "http://e.org/ nbsp"],
+        "iri-reference": ["/päth/ü", "", "#fräg", "a b"],
+        "uri-template": ["http://e.org/{id}", "{/id*}", "{id:3}",
+                         "{+path}/here", "{a,b}", "{id", "{bad name}",
+                         "{id:0}", "{}", "x{y}z{w}"],
+        "idn-email": ["üser@exämple.org", "a@b.c", "a b@c.d", "nope",
+                      "a b@c.d"],
+        "idn-hostname": ["exämple.org", "實例.xn--p1ai", "-bad.com",
+                         "a..b", "a" * 63 + ".com", "a" * 64 + ".com",
+                         "träiling-.com", "under_score.com"],
     }
     eng = ConstraintEngine(assert_formats=True)
     for fmt, vals in samples.items():
