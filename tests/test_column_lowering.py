@@ -396,3 +396,83 @@ def test_format_column_forms_match_python_validators(spark):
         )
         got_var = [r.passed for r in var.select("passed").collect()]
         assert got_var == want, (fmt, list(zip(vals, got_var, want)))
+
+
+def test_format_fuzz_cross_path(spark):
+    """Randomized differential sweep over ALL 19 built-in formats:
+    seeded mutations of valid exemplars (char flips/inserts/deletes
+    drawn from an ascii+unicode alphabet) must get the SAME verdict
+    from the Python validators, the typed Column lowering, and the
+    variant lowering — the format surface's analogue of
+    test_random_differential."""
+    import json
+    import random
+
+    from jschon_spark.engine import ConstraintEngine
+    from jschon_spark.evaluator import FORMAT_VALIDATORS
+    from jschon_spark.lowering.variant import validate_json_column_variant
+
+    exemplars = {
+        "json-pointer": "/a/b~0c", "relative-json-pointer": "1/a",
+        "ipv4": "192.168.3.17", "ipv6": "::ffff:1.2.3.4",
+        "date": "2024-02-29", "time": "23:59:59+05:30",
+        "date-time": "2024-02-29T23:59:59Z",
+        "uuid": "123e4567-e89b-12d3-a456-426614174000",
+        "regex": "^a[bc]+$", "uri": "https://e.org/p?q=1#f",
+        "hostname": "a-b.example.com", "email": "a+tag@e.co",
+        "duration": "P1Y2M3DT4H5M6S", "uri-reference": "//h/p?q#f",
+        "iri": "http://exämple.org/päth",
+        "iri-reference": "/päth/ü",
+        "uri-template": "http://e.org/{id}{/path*}{?q:3}",
+        "idn-email": "üser@exämple.org",
+        "idn-hostname": "exämple.實例.org",
+    }
+    assert set(exemplars) == set(FORMAT_VALIDATORS)
+    alphabet = "ab01-._~:/?#@!$&'()*+,;= %{}\\^<>äü 實\t"
+    rng = random.Random(20260817)
+
+    def mutate(s: str) -> str:
+        if not s:
+            return rng.choice(alphabet)
+        op = rng.randrange(3)
+        i = rng.randrange(len(s))
+        ch = rng.choice(alphabet)
+        if op == 0:
+            return s[:i] + ch + s[i + 1:]
+        if op == 1:
+            return s[:i] + ch + s[i:]
+        return s[:i] + s[i + 1:]
+
+    eng = ConstraintEngine(assert_formats=True)
+    total = divergent = 0
+    for fmt, seed in exemplars.items():
+        vals, seen = [seed], {seed}
+        while len(vals) < 14:
+            v = mutate(rng.choice(vals))
+            if v not in seen:
+                seen.add(v)
+                vals.append(v)
+        want = [FORMAT_VALIDATORS[fmt][0](v) for v in vals]
+        assert any(want), fmt  # the exemplar itself must be valid
+        compiled = eng.compile({"properties": {"s": {"format": fmt}}})
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got_typed = [r.passed for r in compiled.apply_typed(df)
+                     .select("passed").collect()]
+        jdf = spark.createDataFrame(
+            [(json.dumps({"s": v}),) for v in vals], "doc string")
+        try:
+            got_var = [r.passed for r in validate_json_column_variant(
+                jdf, "doc", compiled.schema, compiled.catalog,
+                assert_formats=True).select("passed").collect()]
+        except CannotLower:
+            # json-pointer / ipv6 / regex have no Column regex form —
+            # the ENGINE routes them to the batch evaluator (whose
+            # verdicts ARE `want`); only the direct lowerer call here
+            # sees the CannotLower
+            got_var = want
+        total += len(vals)
+        for v, w, t, g in zip(vals, want, got_typed, got_var):
+            if not (w == t == g):
+                divergent += 1
+                print(f"DIVERGENCE {fmt}: {v!r} python={w} typed={t} variant={g}")
+    assert divergent == 0, f"{divergent}/{total} divergent"
