@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # webtext curation family (round 5): CCNet line dedup, C4
         # cleaning, deterministic stratified sampling, domain caps,
         # sequence packing
+        "streaming_sessionize_events": Q.streaming_sessionize_events,
         "line_dedup_docs": Q.line_dedup_docs,
         "c4_filter_docs": Q.c4_filter_docs,
         "sample_stratified_docs": Q.sample_stratified_docs,
@@ -681,6 +682,30 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
                    sum(value) AS total_value
             FROM s GROUP BY user_id, sess
+        """,
+        # streaming sessionize: rebuild the synthesized event times
+        # arithmetically, exclude the watermark-dropped late rows and
+        # the sentinel, aggregate per (user, batch) — sessions are one
+        # per (user, batch) by construction (<=10 min spans, 2h apart)
+        "streaming_sessionize_events": """
+            WITH t AS (
+              SELECT event_id, user_id, value,
+                     event_id % 3 AS b,
+                     (event_id // 3) % 3 AS m
+              FROM events
+            ), kept AS (
+              SELECT user_id, b, value,
+                     1700000000000000 + b * 7200000000
+                       + m * 300000000 AS ts_us
+              FROM t
+              WHERE NOT (b = 2 AND (event_id // 3) % 97 = 0)
+            )
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   count(*) AS n_events,
+                   max(ts_us) - min(ts_us) AS span_us,
+                   sum(value) AS total_value
+            FROM kept GROUP BY user_id, b
         """,
         # CCNet line dedup: drop lines in >= 30 distinct docs (the
         # planted boilerplate footers), reassemble in order; the

@@ -165,6 +165,8 @@ def main() -> None:
             "(incl. the watermark-advance no-data batch) through a "
             "file source + checkpoint dir — same harness-shape "
             "variance as streaming_dedup_firstseen",
+            "streaming_sessionize_events": "4 sequential micro-batches "
+            "+ checkpoint I/O (same streaming harness shape)",
         },
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "docs_per_sec": round(n_pages / corpus_sec, 1),
@@ -207,6 +209,7 @@ def main() -> None:
         "in full_artifact",
         "steady_median_excludes": [
             "streaming_dedup_firstseen", "streaming_late_data_verdicts",
+            "streaming_sessionize_events",
         ],
         "full_artifact": full_path,
     }

@@ -1321,3 +1321,105 @@ def pack_token_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per stratum + a running sum, no iterative repacking."""
     docs = load(spark, sf_dir, "documents")
     return webtext.pack_token_bins(docs, budget=2048)
+
+
+def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization behind the oracle gate: the literal
+    ``sessions.sessionize`` expression (unchanged) runs over a
+    ``readStream`` file source with a 1-hour watermark in append mode,
+    replaying deterministic micro-batches. Construction (all margins
+    huge, no boundary ambiguity):
+
+    - batch b = event_id % 3; ts = base + 2b hours
+      + ((event_id // 3) % 3) * 5 minutes — per (user, batch) the
+      events span <= 10 min (one session, gap 30 min), consecutive
+      batches sit 2h apart (separate sessions), and batch b's sessions
+      are emitted during batch b+1 (watermark = 2b+2h10m - 1h is past
+      their ends).
+    - every 97th batch-2 event instead gets ts = base - 10 hours —
+      10 hours older than the watermark at that point, so Spark DROPS
+      it before the session operator (the late-data path).
+    - a sentinel row (user -1) 10 days ahead arrives as batch 3,
+      advancing the watermark past every real session; its own session
+      never emits, matching the oracle's omission.
+
+    The DuckDB oracle rebuilds ts arithmetically from event_id,
+    excludes the late rows and the sentinel, and aggregates per
+    (user, batch) — equal to the emitted sessions iff streaming
+    merge/eviction behaves exactly like the batch operator."""
+    import os
+    import shutil
+    import tempfile
+
+    from jschon_spark.operators import sessions
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, fixed
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    b = F.pmod(F.col("event_id"), F.lit(3))
+    late = (b == 2) & (F.pmod(F.col("event_id") / 3, F.lit(97)).cast("long") == 0)
+    ts_us = F.when(
+        late, F.lit(base_us) - 10 * 3600 * 1_000_000
+    ).otherwise(
+        F.lit(base_us)
+        + b * 2 * 3600 * 1_000_000
+        + F.pmod((F.col("event_id") / 3).cast("long"), F.lit(3)) * 300_000_000
+    )
+    staged = ev.select(
+        "event_id", "user_id", "value",
+        F.timestamp_micros(ts_us.cast("long")).alias("ts"), b.alias("b"),
+    )
+    tmp = tempfile.mkdtemp(prefix="jss_stream_sess_")
+    src = os.path.join(tmp, "src")
+    try:
+        os.makedirs(src, exist_ok=True)
+        for batch in range(4):
+            part_dir = os.path.join(tmp, f"b{batch}")
+            if batch < 3:
+                batch_df = staged.filter(F.col("b") == batch).select(
+                    "user_id", "ts", "value"
+                )
+            else:
+                batch_df = spark.createDataFrame(
+                    [(-1,)], "user_id bigint"
+                ).select(
+                    "user_id",
+                    F.timestamp_micros(
+                        F.lit(base_us + 10 * 86400 * 1_000_000)
+                    ).alias("ts"),
+                    F.lit(0.0).alias("value"),
+                )
+            batch_df.coalesce(1).write.parquet(part_dir)
+            [part] = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            dst = os.path.join(src, f"batch_{batch}.parquet")
+            shutil.move(os.path.join(part_dir, part), dst)
+            # FileStreamSource orders by (mtime, path): force the order
+            os.utime(dst, (1_700_000_000 + batch, 1_700_000_000 + batch))
+        stream = (
+            spark.readStream.schema("user_id bigint, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+        )
+        q = (
+            sessions.sessionize(stream, gap="30 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("jss_stream_sessions")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, session_start_us, n_events, span_us,"
+                " total_value FROM jss_stream_sessions"
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, session_start_us bigint, n_events bigint,"
+        " span_us bigint, total_value double",
+    )
