@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_docs": Q.sample_stratified_docs,
         "source_caps_docs": Q.source_caps_docs,
         "pack_token_bins_docs": Q.pack_token_bins_docs,
+        "url_features_docs": Q.url_features_docs,
     }
 
 
@@ -813,6 +814,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, bin, count(*) AS n_docs,
                    sum(n_tokens) AS total_tokens
             FROM b GROUP BY 1, 2
+        """,
+        # url canonicalization: replay every regex verbatim (anchored
+        # single-match replaces, so Spark's replace-all == DuckDB's
+        # replace-first), same planting arithmetic
+        "url_features_docs": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE doc_id % 6
+                       WHEN 0 THEN 'https://WWW.' || source
+                            || '.Example.ORG:443/a/'
+                            || cast(doc_id AS varchar) || '?q=1#frag'
+                       WHEN 1 THEN 'http://' || source
+                            || '.example.org:8080/b/'
+                            || cast(doc_id AS varchar)
+                       WHEN 2 THEN 'https://user:pw@' || source
+                            || '.example.org/c?x=2&y=3'
+                       WHEN 3 THEN 'ftp://mirror.' || source
+                            || '.example.org./d/'
+                            || cast(doc_id AS varchar) || '#f'
+                       WHEN 4 THEN 'https://' || source || '.example.org'
+                       ELSE 'not a url ' || cast(doc_id AS varchar)
+                     END AS url
+              FROM documents
+            ), p AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_replace(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                       '^[^@]*@', '')) AS host_l,
+                     regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                       AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS query
+              FROM planted
+            ), h AS (
+              SELECT *,
+                     regexp_extract(host_l, ':([0-9]+)$', 1) AS port,
+                     regexp_replace(regexp_replace(host_l,
+                       ':[0-9]+$', ''), '\\.$', '') AS host
+              FROM p
+            ), d AS (
+              SELECT *,
+                     regexp_replace(host, '^www\\.', '') AS domain_base,
+                     (port <> '' AND NOT (scheme = 'http' AND port = '80')
+                      AND NOT (scheme = 'https' AND port = '443'))
+                       AS keep_port,
+                     (scheme <> '' AND regexp_replace(regexp_replace(
+                       host_l, ':[0-9]+$', ''), '\\.$', '') <> '')
+                       AS parse_ok
+              FROM h
+            )
+            SELECT doc_id, scheme,
+                   CASE WHEN parse_ok THEN host END AS host,
+                   CASE WHEN parse_ok THEN
+                     CASE WHEN regexp_matches(domain_base, '[^.]\\.[^.]')
+                          THEN regexp_extract(domain_base,
+                                              '([^.]+\\.[^.]+)$', 1)
+                          ELSE domain_base END
+                   END AS domain,
+                   CASE WHEN parse_ok THEN
+                     scheme || '://' || host
+                     || CASE WHEN keep_port THEN ':' || port ELSE '' END
+                     || CASE WHEN path = '' THEN '/' ELSE path END
+                     || CASE WHEN query <> '' THEN '?' || query
+                             ELSE '' END
+                   END AS url_canon,
+                   parse_ok
+            FROM d
         """,
         # exact interpolated quantiles: Spark percentile and DuckDB
         # quantile_cont both use the (n-1)*p linear-interpolation rule

@@ -216,3 +216,56 @@ def pack_token_bins(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization + host/domain extraction (the grouping key
+    CCNet-style per-domain passes need) — row-local regex Column
+    algebra, zero shuffles, engine-portable patterns (no lookaround,
+    so Java regex and RE2 read them identically).
+
+    Adds: ``scheme`` (lowercased), ``host`` (userinfo/port/trailing-dot
+    stripped, lowercased), ``domain`` (www-stripped registrable-domain
+    HEURISTIC: last two labels — a real pipeline would join a public
+    suffix list), ``url_canon`` (scheme://host[:non-default-port]path
+    ?query, fragment dropped, empty path -> '/'), ``parse_ok``.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostraw = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    host_l = F.lower(F.regexp_replace(hostraw, r"^[^@]*@", ""))
+    port = F.regexp_extract(host_l, r":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(host_l, r":[0-9]+$", ""), r"\.$", ""
+    )
+    domain_base = F.regexp_replace(host, r"^www\.", "")
+    domain = F.when(
+        domain_base.rlike(r"[^.]\.[^.]"),
+        F.regexp_extract(domain_base, r"([^.]+\.[^.]+)$", 1),
+    ).otherwise(domain_base)
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    parse_ok = (scheme != "") & (host != "")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return df.select(
+        "*",
+        scheme.alias("scheme"),
+        F.when(parse_ok, host).alias("host"),
+        F.when(parse_ok, domain).alias("domain"),
+        F.when(parse_ok, canon).alias("url_canon"),
+        parse_ok.alias("parse_ok"),
+    )

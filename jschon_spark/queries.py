@@ -1423,3 +1423,38 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, session_start_us bigint, n_events bigint,"
         " span_us bigint, total_value double",
     )
+
+
+def url_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization/host/domain extraction over urls planted
+    deterministically on documents (doc_id % 6 picks uppercase hosts,
+    default/non-default ports, userinfo, trailing-dot hosts, bare
+    hosts, and one unparseable string) — row-local regex algebra
+    (webtext.url_features), scan -> project at any scale. The DuckDB
+    oracle replays every regex verbatim (no lookaround, so Java regex
+    and RE2 agree)."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("https://WWW."), F.col("source"),
+                        F.lit(".Example.ORG:443/a/"), did, F.lit("?q=1#frag")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("http://"), F.col("source"),
+                       F.lit(".example.org:8080/b/"), did))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("https://user:pw@"), F.col("source"),
+                       F.lit(".example.org/c?x=2&y=3")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("ftp://mirror."), F.col("source"),
+                       F.lit(".example.org./d/"), did, F.lit("#f")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("https://"), F.col("source"),
+                       F.lit(".example.org")))
+        .otherwise(F.concat(F.lit("not a url "), did))
+        .alias("url"),
+    )
+    return webtext.url_features(planted).select(
+        "doc_id", "scheme", "host", "domain", "url_canon", "parse_ok"
+    )

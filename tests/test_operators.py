@@ -712,3 +712,30 @@ def test_pack_token_bins_hand_computed(spark):
     assert (got[("en", 0)].n_docs, got[("en", 0)].total_tokens) == (3, 12)
     assert (got[("en", 1)].n_docs, got[("en", 1)].total_tokens) == (1, 6)
     assert (got[("de", 0)].n_docs, got[("de", 0)].total_tokens) == (1, 2)
+
+
+def test_url_features_hand_computed(spark):
+    from jschon_spark.operators import webtext
+
+    rows = [
+        (1, "https://WWW.Sub.Example.ORG:443/a/x?q=1#frag"),
+        (2, "http://u:p@h.example.org:8080/b"),
+        (3, "ftp://mirror.example.org./d#f"),
+        (4, "https://example.org"),
+        (5, "nonsense"),
+        (6, "https://localhost/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in webtext.url_features(df).collect()}
+    r1 = got[1]
+    assert (r1.scheme, r1.host, r1.domain) == (
+        "https", "www.sub.example.org", "example.org")
+    assert r1.url_canon == "https://www.sub.example.org/a/x?q=1"
+    r2 = got[2]
+    assert r2.host == "h.example.org"
+    assert r2.url_canon == "http://h.example.org:8080/b"  # non-default kept
+    assert got[3].host == "mirror.example.org"            # trailing dot
+    assert got[3].url_canon == "ftp://mirror.example.org/d"
+    assert got[4].url_canon == "https://example.org/"     # empty path -> /
+    assert got[5].parse_ok is False and got[5].host is None
+    assert got[6].domain == "localhost"                   # single label
