@@ -193,6 +193,9 @@ def main() -> None:
     except OSError as e:
         print(f"# bench: could not write {full_path}: {e}", file=sys.stderr)
     print(json.dumps(full))
+    # compact line budget: rep-placement prose and the exclusion list
+    # live in the full artifact — every byte here buys a per-query
+    # number inside the driver's ~2000-byte tail capture
     compact = {
         "metric": "total_bench_sec",
         "value": total,
@@ -205,13 +208,7 @@ def main() -> None:
             **{k: round(v, 2) for k, v in steady.items()},
             "corpus_full_pass": timings["corpus_full_pass"],
         },
-        "placement": "steady (best-of-2 consecutive); interleaved dict "
-        "in full_artifact",
-        "steady_median_excludes": [
-            "streaming_dedup_firstseen", "streaming_late_data_verdicts",
-            "streaming_sessionize_events",
-        ],
-        "full_artifact": full_path,
+        "full_artifact": os.path.basename(full_path),
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # hard tail-capture guard: drop per-query dict
