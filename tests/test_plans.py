@@ -238,9 +238,13 @@ def test_ivf_seeded_broadcasts_probes(spark, tmp_path):
     plan = plan_of(out)
     assert "BroadcastExchange" in plan, plan
     # the only hash exchange allowed is the top-k window by query_id
-    # (tiny candidate set), never a corpus-wide vector shuffle
-    segs = plan.split("Exchange hashpartitioning")[1:]
-    assert all("query_id" in s[:120] for s in segs), plan
+    # (tiny candidate set), never a corpus-wide vector shuffle.
+    # NOTE: inline exchange args only print in "simple" mode — the
+    # formatted-mode split matched nothing and passed vacuously.
+    simple = plan_of(out, "simple")
+    segs = simple.split("Exchange hashpartitioning")[1:]
+    assert segs, simple
+    assert all("query_id" in s[:120] for s in segs), simple
 
 
 def test_dedup_representatives_anti_join_not_forced_broadcast(spark):
@@ -419,3 +423,78 @@ def test_contamination_plan_broadcasts_bench(spark, pages_path):
     pre_join = plan.split("BroadcastHashJoin")[0]
     n_shuffle = pre_join.count("Exchange hashpartitioning")
     assert n_shuffle == 0, plan
+
+
+def test_webtext_row_local_ops_have_no_exchange(spark):
+    """c4_clean / stratified_sample / url_features are scan->project
+    contracts: ANY exchange in their plans is a defect at 100 TB."""
+    from jschon_spark.operators import webtext
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y z q."), F.lit("\n"), F.lit("b")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("https://e.org/"), F.col("id").cast("string")).alias("url"),
+    )
+    for df in (
+        webtext.c4_clean(docs),
+        webtext.stratified_sample(docs, rates={"en": 0.5}),
+        webtext.url_features(docs),
+    ):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+
+
+def test_webtext_keyed_ops_single_hash_exchange(spark):
+    """per_key_cap and pack_token_bins need exactly the exchanges
+    their semantics require: one hash exchange on the grouping key
+    (pack adds the partial->final agg exchange on (stratum, bin))."""
+    from jschon_spark.operators import webtext
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e").alias("text"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        (F.col("id") % 100).alias("n_chars"),
+    )
+    cap_plan = plan_of(webtext.per_key_cap(docs, k=3), "simple")
+    assert cap_plan.count("Exchange hashpartitioning") == 1, cap_plan
+    assert "source" in cap_plan.split("Exchange hashpartitioning")[1][:80]
+    pack_plan = plan_of(webtext.pack_token_bins(docs, budget=64), "simple")
+    # window exchange on lang + aggregation exchange on (lang, bin)
+    assert pack_plan.count("Exchange hashpartitioning") <= 2, pack_plan
+
+
+def test_line_dedup_frequent_set_broadcasts_and_ships_hashes(spark, tmp_path):
+    """The anti-join side (frequent-line hashes) is tiny by Zipf: with
+    AQE it must arrive as a BroadcastHashJoin LeftAnti, and the
+    frequency aggregation must group on the 16-byte md5, never the raw
+    line text."""
+    from jschon_spark.operators import webtext
+
+    path = str(tmp_path / "docs")
+    spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique "), F.col("id").cast("string"),
+                 F.lit("\nBOILERPLATE")).alias("text"),
+    ).write.parquet(path)
+    out = webtext.line_dedup(spark.read.parquet(path), min_docs=100)
+    out.collect()  # AQE: final plan only exists after execution
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the frequency agg keys on md5(line)
+    assert "md5" in plan, plan
+
+
+def test_sessionize_single_exchange_on_user(spark):
+    from jschon_spark.operators import sessions
+
+    ev = spark.range(300).select(
+        (F.col("id") % 20).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 60_000_000).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    plan = plan_of(sessions.sessionize(ev), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1][:80]
