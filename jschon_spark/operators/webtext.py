@@ -57,25 +57,35 @@ def line_dedup(
         .groupBy("h")
         .agg(F.countDistinct(id_col).alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("h")
+        .select("h", F.lit(True).alias("__drop"))
     )
-    kept = lines.withColumn("h", F.md5("line")).join(frequent, "h", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
+    # mark-then-aggregate (not anti-join + second agg + agg-agg join):
+    # the broadcast left join keeps every line with a drop marker, so
+    # ONE aggregation produces totals, kept counts, and the rebuilt
+    # text together — collect_list skips the nulled-out dropped lines
+    marked = (
+        lines.withColumn("h", F.md5("line"))
+        .join(frequent, "h", "left")
+        .withColumn("__keep", F.col("__drop").isNull())
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("__keep"),
+                                   F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
             ),
-            sep,
+            F.lit(""),
         ).alias("text_dedup"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_lines",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
 
 
