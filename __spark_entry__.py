@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_caps_docs": Q.source_caps_docs,
         "pack_token_bins_docs": Q.pack_token_bins_docs,
         "url_features_docs": Q.url_features_docs,
+        "lm_score_docs": Q.lm_score_docs,
     }
 
 
@@ -883,6 +884,36 @@ def oracle_sql() -> dict[str, str]:
                    END AS url_canon,
                    parse_ok
             FROM d
+        """,
+        # unigram LM score: corpus top-20 vocab logprobs, OOV floor
+        # -log10(total+1); identical split/count/limit tiebreak
+        "lm_score_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '\\s+')) AS tok
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, tok FROM toks WHERE tok <> ''
+            ), counts AS (
+              SELECT tok, count(*) AS n FROM tk GROUP BY 1
+            ), tot AS (
+              SELECT sum(n) AS total FROM counts
+            ), vocab AS (
+              SELECT tok,
+                     log10(CAST(n AS DOUBLE))
+                     - log10(CAST((SELECT total FROM tot) AS DOUBLE) + 1.0)
+                       AS lp
+              FROM counts ORDER BY n DESC, tok LIMIT 20
+            ), scored AS (
+              SELECT doc_id,
+                     coalesce(v.lp,
+                       -log10(CAST((SELECT total FROM tot) AS DOUBLE)
+                              + 1.0)) AS lp
+              FROM tk t LEFT JOIN vocab v USING (tok)
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   avg(lp) AS mean_logprob
+            FROM scored GROUP BY 1
         """,
         # exact interpolated quantiles: Spark percentile and DuckDB
         # quantile_cont both use the (n-1)*p linear-interpolation rule

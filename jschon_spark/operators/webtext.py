@@ -279,3 +279,58 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.when(parse_ok, canon).alias("url_canon"),
         parse_ok.alias("parse_ok"),
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    vocab_size: int = 10000,
+    ln10: bool = False,
+) -> DataFrame:
+    """Unigram language-model quality score (the cheap proxy for
+    CCNet's LM-perplexity filter): build a corpus-level unigram
+    distribution, then score each document by its mean token
+    log10-probability (out-of-vocabulary tokens get the floor
+    probability 1/(total+1)).
+
+    100 TB shape: the vocabulary aggregation is map-side-combined
+    word-count (shuffles distinct tokens, not text), capped at
+    ``vocab_size`` rows and BROADCAST back onto the exploded token
+    stream; the per-doc mean is one aggregation on the id. Token
+    probabilities use the corpus itself — no external model, so the
+    whole computation is replayable in SQL.
+
+    Output: ``<id_col>, n_tokens, mean_logprob`` (NULL for empty
+    docs).
+    """
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+", -1)).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total_df = counts.agg(
+        F.sum("n").alias("__total"), F.count("*").alias("__distinct")
+    )
+    vocab = (
+        counts.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(total_df))
+        .select(
+            "tok",
+            (F.log10(F.col("n").cast("double"))
+             - F.log10(F.col("__total").cast("double") + 1.0)).alias("__lp"),
+        )
+    )
+    floor = total_df.select(
+        (-F.log10(F.col("__total").cast("double") + 1.0)).alias("__floor")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(floor))
+        .select(id_col, F.coalesce("__lp", "__floor").alias("__lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("__lp").alias("mean_logprob"),
+    )

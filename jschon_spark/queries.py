@@ -1458,3 +1458,13 @@ def url_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webtext.url_features(planted).select(
         "doc_id", "scheme", "host", "domain", "url_canon", "parse_ok"
     )
+
+
+def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score (CCNet's perplexity-filter proxy) with
+    a deliberately small vocab (top-20) so the out-of-vocabulary floor
+    path is exercised: corpus-derived unigram distribution, broadcast
+    onto the exploded token stream, mean log10-prob per doc. Vocab agg
+    shuffles distinct tokens only; the corpus text never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return webtext.unigram_logprob_score(docs, vocab_size=20)

@@ -739,3 +739,22 @@ def test_url_features_hand_computed(spark):
     assert got[4].url_canon == "https://example.org/"     # empty path -> /
     assert got[5].parse_ok is False and got[5].host is None
     assert got[6].domain == "localhost"                   # single label
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from jschon_spark.operators import webtext
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in
+           webtext.unigram_logprob_score(df, vocab_size=2).collect()}
+    # counts: a=2 b=2 c=1, total=5; vocab(top2, tiebreak tok asc)={a,b}
+    lp_ab = math.log10(2) - math.log10(6.0)
+    floor = -math.log10(6.0)
+    assert got[1].n_tokens == 3
+    assert abs(got[1].mean_logprob - lp_ab) < 1e-12
+    assert got[2].n_tokens == 2
+    assert abs(got[2].mean_logprob - (lp_ab + floor) / 2) < 1e-12
