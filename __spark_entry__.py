@@ -12,6 +12,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from jschon_spark import queries as Q
+from jschon_spark.operators._psl import PSL_2LABEL, PSL_3LABEL, sql_in_list
+
+# the DuckDB oracle replays the SAME vendored PSL suffix sets the
+# Spark InSet uses (single-sourced from operators/_psl.py)
+_PSL2_IN = sql_in_list(PSL_2LABEL)
+_PSL3_IN = sql_in_list(PSL_3LABEL)
 
 _ENUM = "('en','de','fr','es')"
 _PASSED = (
@@ -818,11 +824,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # url canonicalization: replay every regex verbatim (anchored
         # single-match replaces, so Spark's replace-all == DuckDB's
-        # replace-first), same planting arithmetic
-        "url_features_docs": """
+        # replace-first), same planting arithmetic; round 6 adds
+        # co.uk/com.au plants + the vendored-PSL registrable-domain
+        # rule replayed with the SAME suffix sets as SQL IN lists
+        "url_features_docs": f"""
             WITH planted AS (
               SELECT doc_id,
-                     CASE doc_id % 6
+                     CASE doc_id % 8
                        WHEN 0 THEN 'https://WWW.' || source
                             || '.Example.ORG:443/a/'
                             || cast(doc_id AS varchar) || '?q=1#frag'
@@ -835,6 +843,9 @@ def oracle_sql() -> dict[str, str]:
                             || '.example.org./d/'
                             || cast(doc_id AS varchar) || '#f'
                        WHEN 4 THEN 'https://' || source || '.example.org'
+                       WHEN 5 THEN 'https://news.' || source
+                            || '.co.uk/p/' || cast(doc_id AS varchar)
+                       WHEN 6 THEN 'http://www.' || source || '.com.au/'
                        ELSE 'not a url ' || cast(doc_id AS varchar)
                      END AS url
               FROM documents
@@ -866,13 +877,21 @@ def oracle_sql() -> dict[str, str]:
                        host_l, ':[0-9]+$', ''), '\\.$', '') <> '')
                        AS parse_ok
               FROM h
+            ), e AS (
+              SELECT *, string_split(domain_base, '.') AS ls FROM d
             )
             SELECT doc_id, scheme,
                    CASE WHEN parse_ok THEN host END AS host,
                    CASE WHEN parse_ok THEN
-                     CASE WHEN regexp_matches(domain_base, '[^.]\\.[^.]')
-                          THEN regexp_extract(domain_base,
-                                              '([^.]+\\.[^.]+)$', 1)
+                     CASE WHEN len(ls) >= 4
+                               AND ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                                   IN ({_PSL3_IN})
+                          THEN ls[-4] || '.' || ls[-3] || '.' || ls[-2]
+                               || '.' || ls[-1]
+                          WHEN len(ls) >= 3
+                               AND ls[-2] || '.' || ls[-1] IN ({_PSL2_IN})
+                          THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                          WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
                           ELSE domain_base END
                    END AS domain,
                    CASE WHEN parse_ok THEN
@@ -883,7 +902,7 @@ def oracle_sql() -> dict[str, str]:
                              ELSE '' END
                    END AS url_canon,
                    parse_ok
-            FROM d
+            FROM e
         """,
         # unigram LM score: corpus top-20 vocab logprobs, OOV floor
         # -log10(total+1); identical split/count/limit tiebreak

@@ -10,8 +10,11 @@ baseline JPEG (spec-implemented huffman + dequant + numpy IDCT +
 chroma upsample + YCbCr->RGB, round 5) and WAV PCM (struct ->
 RMS/peak/duration) — no codec libraries involved. Containers outside
 the decodable subset (progressive JPEG, interlaced PNG, non-PCM WAV)
-mark rows ``decode_ok=False``; ``decode_stub=True`` keeps the
-deterministic fake-feature path for plumbing tests.
+mark rows ``decode_ok=False``. Real decode is the DEFAULT (round 6);
+``decode_stub=True`` is an explicit opt-in that keeps the
+deterministic fake-feature path for plumbing tests — stubbed rows are
+honestly labeled ``decode_ok=False`` so fabricated features can never
+masquerade as decoded ones.
 """
 
 from __future__ import annotations
@@ -71,7 +74,7 @@ def media_features(
     df: DataFrame,
     binary_col: str = "payload",
     media_type_col: str | None = None,
-    decode_stub: bool = True,
+    decode_stub: bool = False,
     batch_size_hint: int = 256,
 ) -> DataFrame:
     """Decode/feature-extract via ``mapInPandas`` (Arrow batches).
@@ -79,6 +82,10 @@ def media_features(
     The UDF signature is the production one: an iterator of pandas
     batches in, an iterator of feature batches out, so a real decoder
     can stream without materializing a partition.
+
+    ``decode_stub=True`` (opt-in; plumbing tests only) replaces the
+    decoders with sha256-derived fake features and marks those rows
+    ``decode_ok=False`` — a stub row is never reported as decoded.
     """
     mt_col = media_type_col
 
@@ -98,7 +105,7 @@ def media_features(
                 sizes.append(len(data))
                 if decode_stub:
                     feats.append(_fake_decode(data))
-                    oks.append(True)
+                    oks.append(False)  # fabricated, never "decoded"
                 else:
                     # REAL decode for PNG (zlib IDAT + scanline
                     # unfiltering), GIF (stdlib LZW + palette lookup),
@@ -149,8 +156,8 @@ def frame_sample_plan(
 #
 # Magic-byte sniffing + header parsing are pure byte arithmetic, so this
 # part of "decode" is NOT stubbed: PNG/GIF/JPEG dimensions and WAV
-# duration come from the actual payload. Only pixel/sample decoding
-# (media_features above) remains a stub in this container.
+# duration come from the actual payload. Pixel/sample decoding is real
+# too (from-scratch PNG/GIF/JPEG/WAV further below).
 
 def sniff_media_type(data: bytes) -> str | None:
     if data.startswith(b"\x89PNG\r\n\x1a\n"):
@@ -690,6 +697,12 @@ def decode_jpeg_stats(data: bytes) -> dict:
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         raise UnsupportedMedia("bad sampling factors")
+    # T.81 allows any 1..4 factors, but the replication upsampler below
+    # needs integer ratios (vmax/c.v, hmax/c.h); a 3-in-4-max frame
+    # would otherwise yield undersized planes (round-6 ADVICE fix)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise UnsupportedMedia("non-divisor sampling factors")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     # per-component coefficient planes at sampled resolution
@@ -779,7 +792,16 @@ def decode_jpeg_stats(data: bytes) -> dict:
 def _real_decode(data: bytes) -> list[float] | None:
     """PNG/GIF/JPEG/WAV -> N_FEATURES floats via the from-scratch
     decoders; None when the container is outside the decodable subset
-    (progressive JPEG, interlaced PNG, non-PCM WAV, ...)."""
+    (progressive JPEG, interlaced PNG, non-PCM WAV, ...).
+
+    Catches not just :class:`UnsupportedMedia` but the raw parse
+    errors a truncated or corrupt payload surfaces from byte/array
+    arithmetic (IndexError/ValueError/struct.error/zlib.error/...),
+    so one malformed row degrades to ``decode_ok=False`` instead of
+    crashing the executor task (round-6 ADVICE fix)."""
+    import struct
+    import zlib
+
     mt = sniff_media_type(data)
     try:
         if mt in ("image/png", "image/gif", "image/jpeg"):
@@ -799,7 +821,8 @@ def _real_decode(data: bytes) -> list[float] | None:
                     s["rms"], s["peak"]]
         else:
             return None
-    except UnsupportedMedia:
+    except (UnsupportedMedia, IndexError, KeyError, ValueError,
+            OverflowError, struct.error, zlib.error):
         return None
     return feat + [0.0] * (N_FEATURES - len(feat))
 

@@ -5,12 +5,31 @@ analogue — LLM-pipeline/analytics family).
 Spark-first shape: the native ``F.session_window`` aggregation — the
 SAME expression runs in batch and in Structured Streaming (with a
 watermark), and the plan is one hash exchange on the user key followed
-by the session-merge aggregation. Spark's semantics (measured, Spark
-4.1): per-event windows ``[ts, ts + gap]`` merge when they OVERLAP OR
-TOUCH, so an event extends the session iff its delta to the previous
-event is <= gap — only a delta STRICTLY GREATER than the gap opens a
-new session. The SQL oracle replays that boundary with
-gaps-and-islands window functions.
+by the session-merge aggregation.
+
+The merge/eviction boundary the SQL oracle replays is Spark's
+DOCUMENTED contract, not just observed behavior (round-6 doc fix):
+
+- Session merge — the Structured Streaming guide ("Types of time
+  windows": session windows) defines a session as starting an input
+  and extending it "if a subsequent input is received within the gap
+  duration from its latest input"; per-event windows ``[ts, ts+gap]``
+  that overlap or touch merge. Hence an event extends the session iff
+  its delta to the previous event is <= gap — only a delta STRICTLY
+  GREATER than the gap opens a new session. (Verified against Spark
+  4.1: ``sql/core/.../UpdatingSessionsIterator`` merges on
+  ``sessionStart <= currentEnd``.)
+- Watermark eviction — the guide's "Handling Late Data and
+  Watermarking" + "Semantic Guarantees of Aggregation with
+  Watermarking" section: the engine guarantees a window is dropped
+  only AFTER the watermark (max event time seen in PREVIOUS batches
+  minus the delay) passes its end; state eviction happens at the end
+  of the micro-batch in which that becomes true. The late-data oracle
+  in queries.py replays exactly that batch-boundary rule.
+
+The hand-computed pytest fixtures pin the boundary cases so a Spark
+behavior change would fail the suite loudly rather than silently
+re-blessing new output.
 """
 
 from __future__ import annotations

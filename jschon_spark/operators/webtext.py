@@ -22,6 +22,8 @@ shuffles are the ones the semantics require:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,9 +50,15 @@ def line_dedup(
 
     Output: ``<id_col>, n_lines, n_kept, text_dedup`` (empty string
     when every line was boilerplate).
+
+    ``sep`` is a LITERAL separator (regex-escaped before it reaches
+    ``F.split``, so '.' or '|' split literally — round-6 ADVICE fix).
     """
     lines = docs.select(
-        id_col, F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line")
+        id_col,
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep), -1)
+        ).alias("pos", "line"),
     )
     frequent = (
         lines.select(F.md5("line").alias("h"), id_col)
@@ -106,13 +114,14 @@ def c4_clean(
     ``min_kept_lines`` surviving lines.
 
     Scan -> project, zero shuffles; the line predicates run inside one
-    higher-order ``filter`` over the split array.
+    higher-order ``filter`` over the split array. ``sep`` is a LITERAL
+    separator (regex-escaped, matching :func:`line_dedup`).
 
     Output: ``<id_col>, n_lines, n_kept_lines, has_lorem, has_brace,
     c4_passed, text_clean``.
     """
     t = F.col(text_col)
-    lines = F.split(t, sep, -1)
+    lines = F.split(t, re.escape(sep), -1)
 
     def _keep(l: Column) -> Column:
         return (
@@ -153,16 +162,27 @@ def stratified_sample(
     partition keeps the SAME rows). Zero shuffles: pure scan+filter,
     and the hex comparison is a codegen'd string compare against a
     per-stratum literal.
+
+    Fractional thresholds FLOOR the rate (keep-probability is
+    ``floor(rate * 16^8) / 16^8``); ``rate >= 1.0`` short-circuits to
+    keep-all, so a 100% stratum really keeps every row (round-6
+    ADVICE fix — the old clamped-threshold compare silently dropped
+    rows whose md5 prefix was exactly ``ffffffff``).
     """
-
-    def _thr(rate: float) -> str:
-        return format(min(int(rate * 16**8), 16**8 - 1), "08x")
-
-    expr = F.lit(_thr(default_rate))
-    for stratum, rate in sorted(rates.items()):
-        expr = F.when(F.col(strata_col) == stratum, F.lit(_thr(rate))).otherwise(expr)
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
-    return docs.filter(h < expr)
+
+    def _keep(rate: float) -> Column:
+        v = int(rate * 16**8)  # floored threshold
+        if v >= 16**8:  # incl. rates that FLOAT-round up to 1.0
+            return F.lit(True)
+        if v <= 0:
+            return F.lit(False)
+        return h < F.lit(format(v, "08x"))
+
+    expr = _keep(default_rate)
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == stratum, _keep(rate)).otherwise(expr)
+    return docs.filter(expr)
 
 
 def per_key_cap(
@@ -196,31 +216,130 @@ def pack_token_bins(
     strata_col: str = "lang",
     *,
     budget: int = 2048,
+    n_buckets: int = 4096,
 ) -> DataFrame:
     """Sequence-packing plan: assign documents (in deterministic
     ``id_col`` order per stratum) to contiguous token-budget bins —
     document i goes to bin floor(tokens_before_i / budget). The
     offset rule (rather than true first-fit) keeps the plan a pure
-    running sum: one exchange on the stratum + a window cumsum, no
-    iterative repacking, identical on any engine.
+    running sum, no iterative repacking, identical on any engine.
+
+    100 TB shape (round 6 — replaces the single window over the whole
+    stratum, which put an entire stratum into ONE task's sort): a
+    classic two-phase distributed prefix sum.
+
+    1. Each stratum is range-bucketed by ``id_col`` into
+       ``n_buckets`` equal-width id slices (exact per-stratum min/max
+       from a tiny column-pruned aggregate, broadcast back — no
+       sampling, so bucketing is deterministic).
+    2. ONE exchange on ``(stratum, bucket)`` + a bucket-local window
+       cumsum — at most |stratum|/n_buckets rows per sort, full
+       cluster parallelism.
+    3. Per-bucket token subtotals are just ``max(local_cumsum)`` per
+       bucket (a tiny aggregate over the SAME exchange — the planner
+       reuses it, see tests/test_plans.py), cumulated into bucket
+       offsets by a window over <= n_buckets rows per stratum and
+       BROADCAST back: ``global_cumsum = bucket_offset + local_cumsum``.
+
+    The bin ids are bucket-independent (pure global running sum), so
+    the result is bit-identical to the naive single-window plan and
+    to the SQL oracle. Non-numeric ``id_col`` types (no order-
+    preserving bucketing without a sampled range partitioner) fall
+    back to the single-window plan with a documented scale caveat.
 
     Token count is whitespace words (the tokenizer-independent
     planning proxy). Output: ``<strata_col>, bin, n_docs,
     total_tokens`` per bin.
     """
+    from pyspark.sql.types import (
+        ByteType, DecimalType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType,
+    )
+
     toks = F.size(F.split(F.col(text_col), " ", -1))
-    w = (
-        Window.partitionBy(strata_col)
+    id_type = docs.schema[id_col].dataType
+    numeric = isinstance(
+        id_type,
+        (ByteType, ShortType, IntegerType, LongType, FloatType,
+         DoubleType, DecimalType),
+    )
+    if not numeric:
+        # fallback: correct but single-task-per-stratum — fine for
+        # small strata, NOT the 100 TB path (use a numeric id there)
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        with_bin = docs.select(
+            strata_col, F.col(id_col), toks.alias("n_tokens")
+        ).withColumn(
+            "bin",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(budget)
+            ),
+        )
+        return with_bin.groupBy(strata_col, "bin").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+
+    # phase 1: deterministic equal-width id bucketing (order-preserving:
+    # floor((id - lo) / width) is monotone in id). The min/max scan is
+    # column-pruned to (stratum, id) — it never touches the text.
+    rng = docs.groupBy(strata_col).agg(
+        F.min(F.col(id_col).cast("double")).alias("__lo"),
+        F.max(F.col(id_col).cast("double")).alias("__hi"),
+    )
+    width = F.greatest(
+        (F.col("__hi") - F.col("__lo") + F.lit(1.0)) / F.lit(float(n_buckets)),
+        F.lit(1e-9),
+    )
+    base = (
+        docs.select(strata_col, F.col(id_col), toks.alias("n_tokens"))
+        .join(F.broadcast(rng), strata_col)
+        .withColumn(
+            "__bkt",
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col(id_col).cast("double") - F.col("__lo")) / width),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+
+    # phase 2: bucket-local cumsum — the ONLY exchange over the rows
+    wloc = (
+        Window.partitionBy(strata_col, "__bkt")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_bin = docs.select(
-        strata_col,
-        F.col(id_col),
-        toks.alias("n_tokens"),
+    local = base.withColumn("__cum", F.sum("n_tokens").over(wloc))
+
+    # phase 3: tiny bucket subtotals (max of the local cumsum, so the
+    # aggregate consumes the same (stratum,bucket) exchange) -> bucket
+    # offsets (window over <= n_buckets rows/stratum) -> broadcast back
+    woff = (
+        Window.partitionBy(strata_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        local.groupBy(strata_col, "__bkt")
+        .agg(F.max("__cum").alias("__bt"))
+        .withColumn("__off", F.sum("__bt").over(woff) - F.col("__bt"))
+        .select(strata_col, "__bkt", "__off")
+    )
+
+    with_bin = local.join(
+        F.broadcast(offsets), [strata_col, "__bkt"]
     ).withColumn(
         "bin",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)),
+        F.floor(
+            (F.col("__off") + F.col("__cum") - F.col("n_tokens"))
+            / F.lit(budget)
+        ),
     )
     return with_bin.groupBy(strata_col, "bin").agg(
         F.count("*").alias("n_docs"),
@@ -235,11 +354,20 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     so Java regex and RE2 read them identically).
 
     Adds: ``scheme`` (lowercased), ``host`` (userinfo/port/trailing-dot
-    stripped, lowercased), ``domain`` (www-stripped registrable-domain
-    HEURISTIC: last two labels — a real pipeline would join a public
-    suffix list), ``url_canon`` (scheme://host[:non-default-port]path
-    ?query, fragment dropped, empty path -> '/'), ``parse_ok``.
+    stripped, lowercased), ``domain`` (www-stripped REGISTRABLE domain:
+    a vendored trimmed Public Suffix List snapshot — see
+    :mod:`jschon_spark.operators._psl` — decides how many labels the
+    public suffix takes, so ``foo.co.uk -> foo.co.uk`` instead of the
+    old last-two-labels ``co.uk``; suffixes absent from the snapshot
+    fall back to last-two-labels, round 6), ``url_canon``
+    (scheme://host[:non-default-port]path?query, fragment dropped,
+    empty path -> '/'), ``parse_ok``.
+
+    The suffix sets lower to codegen'd ``InSet`` literals — still zero
+    shuffle, no broadcast dim needed.
     """
+    from jschon_spark.operators._psl import PSL_2LABEL, PSL_3LABEL
+
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostraw = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
@@ -249,10 +377,26 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.regexp_replace(host_l, r":[0-9]+$", ""), r"\.$", ""
     )
     domain_base = F.regexp_replace(host, r"^www\.", "")
-    domain = F.when(
-        domain_base.rlike(r"[^.]\.[^.]"),
-        F.regexp_extract(domain_base, r"([^.]+\.[^.]+)$", 1),
-    ).otherwise(domain_base)
+    # registrable domain via the PSL snapshot: F.get is NULL-safe on
+    # out-of-range (short hosts make lastK NULL -> isin NULL -> the
+    # when-branch falls through, never an ANSI error)
+    labels = F.split(domain_base, r"\.", -1)
+    n = F.size(labels)
+    l1 = F.get(labels, n - 1)
+    l2 = F.get(labels, n - 2)
+    l3 = F.get(labels, n - 3)
+    l4 = F.get(labels, n - 4)
+    dot = F.lit(".")
+    last2 = F.concat(l2, dot, l1)
+    last3 = F.concat(l3, dot, last2)
+    domain = (
+        F.when((n >= 4) & last3.isin(*sorted(PSL_3LABEL)),
+               F.concat(l4, dot, last3))
+        .when((n >= 3) & last2.isin(*sorted(PSL_2LABEL)),
+              F.concat(l3, dot, last2))
+        .when(n >= 2, last2)
+        .otherwise(domain_base)
+    )
     path = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )

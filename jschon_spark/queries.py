@@ -1427,31 +1427,39 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def url_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization/host/domain extraction over urls planted
-    deterministically on documents (doc_id % 6 picks uppercase hosts,
+    deterministically on documents (doc_id % 8 picks uppercase hosts,
     default/non-default ports, userinfo, trailing-dot hosts, bare
-    hosts, and one unparseable string) — row-local regex algebra
-    (webtext.url_features), scan -> project at any scale. The DuckDB
-    oracle replays every regex verbatim (no lookaround, so Java regex
-    and RE2 agree)."""
+    hosts, one unparseable string, and — round 6 — co.uk / com.au
+    hosts that exercise the vendored Public-Suffix-List registrable-
+    domain path) — row-local regex algebra (webtext.url_features),
+    scan -> project at any scale. The DuckDB oracle replays every
+    regex verbatim (no lookaround, so Java regex and RE2 agree) and
+    the SAME PSL suffix sets as SQL IN lists."""
     docs = load(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     planted = docs.select(
         "doc_id",
-        F.when(F.col("doc_id") % 6 == 0,
+        F.when(F.col("doc_id") % 8 == 0,
                F.concat(F.lit("https://WWW."), F.col("source"),
                         F.lit(".Example.ORG:443/a/"), did, F.lit("?q=1#frag")))
-        .when(F.col("doc_id") % 6 == 1,
+        .when(F.col("doc_id") % 8 == 1,
               F.concat(F.lit("http://"), F.col("source"),
                        F.lit(".example.org:8080/b/"), did))
-        .when(F.col("doc_id") % 6 == 2,
+        .when(F.col("doc_id") % 8 == 2,
               F.concat(F.lit("https://user:pw@"), F.col("source"),
                        F.lit(".example.org/c?x=2&y=3")))
-        .when(F.col("doc_id") % 6 == 3,
+        .when(F.col("doc_id") % 8 == 3,
               F.concat(F.lit("ftp://mirror."), F.col("source"),
                        F.lit(".example.org./d/"), did, F.lit("#f")))
-        .when(F.col("doc_id") % 6 == 4,
+        .when(F.col("doc_id") % 8 == 4,
               F.concat(F.lit("https://"), F.col("source"),
                        F.lit(".example.org")))
+        .when(F.col("doc_id") % 8 == 5,
+              F.concat(F.lit("https://news."), F.col("source"),
+                       F.lit(".co.uk/p/"), did))
+        .when(F.col("doc_id") % 8 == 6,
+              F.concat(F.lit("http://www."), F.col("source"),
+                       F.lit(".com.au/")))
         .otherwise(F.concat(F.lit("not a url "), did))
         .alias("url"),
     )

@@ -22,13 +22,19 @@ def test_media_meta_and_features(spark):
     assert by_id[1].n_bytes == 11 and by_id[1].media_type == "image/png"
     assert by_id[3].n_bytes is None
 
+    # DEFAULT path is the real decoders (round 6): neither payload is
+    # a decodable container, so both are honestly decode_ok=False
     feats = media_features(df, "payload", "mt").collect()
-    ok = [r for r in feats if r.decode_ok]
-    assert len(ok) == 2
-    assert all(len(r.feature) == 16 for r in ok)
-    # deterministic: same payload -> same feature
-    feats2 = media_features(df, "payload", "mt").collect()
-    assert sorted(str(r.feature) for r in feats) == sorted(str(r.feature) for r in feats2)
+    assert all(not r.decode_ok for r in feats)
+    assert all(r.feature is None for r in feats if r.media_sha256)
+
+    # stub path is opt-in, deterministic, and NEVER claims decode_ok
+    stub = media_features(df, "payload", "mt", decode_stub=True).collect()
+    with_feat = [r for r in stub if r.feature is not None]
+    assert len(with_feat) == 2
+    assert all(len(r.feature) == 16 and not r.decode_ok for r in with_feat)
+    stub2 = media_features(df, "payload", "mt", decode_stub=True).collect()
+    assert sorted(str(r.feature) for r in stub) == sorted(str(r.feature) for r in stub2)
 
 
 def test_media_decode_unknown_container_flagged(spark):
@@ -210,6 +216,62 @@ def test_media_features_real_decode_distributed(spark):
     assert g.decode_ok and g.feature[:3] == [3.0, 2.0, 3.0]
     assert abs(g.feature[3] - 40 / 255.0) < 1e-6       # mean R (flat)
     assert abs(g.feature[4] - 80 / 255.0) < 1e-6       # mean G
+
+
+def test_real_decode_survives_corrupt_payloads():
+    """Round-6 ADVICE fix: truncated/corrupt payloads that sniff as a
+    known container must degrade to None (-> decode_ok=False), never
+    leak a raw IndexError/ValueError/zlib.error out of the task."""
+    import struct, zlib
+    from jschon_spark.operators.multimodal import _real_decode
+
+    corrupt = [
+        # JPEG: SOI then a DQT segment whose declared length runs past
+        # the end of the stream (raw IndexError pre-fix)
+        b"\xff\xd8\xff\xdb\x00\x84\x00",
+        # JPEG: truncated SOF0 header (length says 17 bytes, stream ends)
+        b"\xff\xd8\xff\xc0\x00\x11\x08\x00",
+        # JPEG: DHT with a counts table but no symbols
+        b"\xff\xd8\xff\xc4\x00\x1f\x00" + bytes([1] * 4),
+        # JPEG: zero-length segment length field (would loop/index)
+        b"\xff\xd8\xff\xe0\x00\x00",
+        # PNG: valid IHDR but garbage (non-zlib) IDAT -> zlib.error
+        (b"\x89PNG\r\n\x1a\n"
+         + struct.pack(">I", 13) + b"IHDR"
+         + struct.pack(">II5B", 2, 2, 8, 0, 0, 0, 0) + b"\x00" * 4
+         + struct.pack(">I", 5) + b"IDAT" + b"not-z" + b"\x00" * 4
+         + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4),
+        # WAV: fmt chunk shorter than its declared size
+        b"RIFF" + struct.pack("<I", 20) + b"WAVEfmt " + struct.pack("<I", 16)
+        + b"\x01\x00",
+    ]
+    for payload in corrupt:
+        assert _real_decode(payload) is None, payload[:8]
+
+
+def test_jpeg_non_divisor_sampling_rejected():
+    """T.81 allows sampling factor 3 in a 4-max frame, but the
+    replication upsampler needs integer ratios — such frames must be
+    UnsupportedMedia, not a numpy shape error (round-6 ADVICE fix)."""
+    import struct
+    from jschon_spark.operators.multimodal import (
+        UnsupportedMedia, decode_jpeg_stats,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    # one DC + one AC huffman table (trivial: single symbol 0)
+    dht = (seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x00")
+           + seg(0xC4, b"\x10" + bytes([1] + [0] * 15) + b"\x00"))
+    # SOF0: 3 components, Y at (4,4), Cb at (3,1) -> 4 % 3 != 0
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 3)
+              + bytes([1, 0x44, 0]) + bytes([2, 0x31, 0]) + bytes([3, 0x11, 0]))
+    sos = seg(0xDA, b"\x03" + bytes([1, 0, 2, 0, 3, 0]) + b"\x00\x3f\x00")
+    jpg = b"\xff\xd8" + qt + dht + sof + sos + b"\x00" * 32 + b"\xff\xd9"
+    with pytest.raises(UnsupportedMedia, match="non-divisor"):
+        decode_jpeg_stats(jpg)
 
 
 def test_frame_sample_plan(spark):

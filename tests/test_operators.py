@@ -714,6 +714,60 @@ def test_pack_token_bins_hand_computed(spark):
     assert (got[("de", 0)].n_docs, got[("de", 0)].total_tokens) == (1, 2)
 
 
+def test_pack_token_bins_matches_naive_across_bucket_counts(spark):
+    """The round-6 two-phase distributed prefix sum must be
+    bit-identical to the naive global cumsum for ANY bucket count
+    (bin ids are bucket-independent by construction)."""
+    import random
+
+    from jschon_spark.operators import webtext
+
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(["w"] * rng.randrange(1, 30)), ["en", "de", "fr"][i % 3])
+        for i in range(301)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exp: dict[tuple, tuple] = {}
+    for lang in ("en", "de", "fr"):
+        cum = 0
+        for i, t, l in sorted(rows):
+            if l != lang:
+                continue
+            n = len(t.split(" "))
+            k = (lang, cum // 64)
+            d, s = exp.get(k, (0, 0))
+            exp[k] = (d + 1, s + n)
+            cum += n
+    for nb in (1, 3, 4096):
+        got = {
+            (r.lang, r.bin): (r.n_docs, r.total_tokens)
+            for r in webtext.pack_token_bins(df, budget=64, n_buckets=nb).collect()
+        }
+        assert got == exp, nb
+    # non-numeric id -> documented single-window fallback, same values
+    df_s = df.withColumn("doc_id", F.format_string("%06d", "doc_id"))
+    got_s = {
+        (r.lang, r.bin): (r.n_docs, r.total_tokens)
+        for r in webtext.pack_token_bins(df_s, budget=64).collect()
+    }
+    assert got_s == exp
+
+
+def test_line_dedup_literal_separator(spark):
+    """sep is a literal, not a Java regex: '.' must split on dots
+    (round-6 ADVICE fix — was silently regex-splitting per char)."""
+    from jschon_spark.operators import webtext
+
+    rows = [(1, "keep one.BOILER.keep two"), (2, "BOILER.x"), (3, "BOILER")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           webtext.line_dedup(df, min_docs=3, sep=".").collect()}
+    assert (got[1].n_lines, got[1].n_kept) == (3, 2)
+    assert got[1].text_dedup == "keep one.keep two"
+    assert got[3].text_dedup == ""
+
+
 def test_url_features_hand_computed(spark):
     from jschon_spark.operators import webtext
 
@@ -737,6 +791,33 @@ def test_url_features_hand_computed(spark):
     assert got[3].host == "mirror.example.org"            # trailing dot
     assert got[3].url_canon == "ftp://mirror.example.org/d"
     assert got[4].url_canon == "https://example.org/"     # empty path -> /
+
+
+def test_url_features_psl_registrable_domain(spark):
+    """Round-6 PSL fix: multi-label public suffixes yield the real
+    registrable domain (foo.co.uk, not co.uk); unknown suffixes keep
+    the last-two-labels fallback; a 3-label private suffix
+    (s3.amazonaws.com) takes four labels."""
+    from jschon_spark.operators import webtext
+
+    rows = [
+        (1, "https://news.bbc.co.uk/story"),
+        (2, "http://www.shop.example.com.au/"),
+        (3, "https://foo.bar.github.io/x"),
+        (4, "https://bucket.s3.amazonaws.com/key"),
+        (5, "https://blog.example.org/"),         # flat TLD fallback
+        (6, "https://co.uk/"),                    # host IS the suffix
+        (7, "http://alpha.blogspot.co.uk/p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.domain for r in webtext.url_features(df).collect()}
+    assert got[1] == "bbc.co.uk"
+    assert got[2] == "example.com.au"             # www. stripped first
+    assert got[3] == "bar.github.io"
+    assert got[4] == "bucket.s3.amazonaws.com"
+    assert got[5] == "example.org"
+    assert got[6] == "co.uk"                      # no registrable part
+    assert got[7] == "alpha.blogspot.co.uk"
     assert got[5].parse_ok is False and got[5].host is None
     assert got[6].domain == "localhost"                   # single label
 

@@ -461,9 +461,45 @@ def test_webtext_keyed_ops_single_hash_exchange(spark):
     cap_plan = plan_of(webtext.per_key_cap(docs, k=3), "simple")
     assert cap_plan.count("Exchange hashpartitioning") == 1, cap_plan
     assert "source" in cap_plan.split("Exchange hashpartitioning")[1][:80]
-    pack_plan = plan_of(webtext.pack_token_bins(docs, budget=64), "simple")
-    # window exchange on lang + aggregation exchange on (lang, bin)
-    assert pack_plan.count("Exchange hashpartitioning") <= 2, pack_plan
+    pack_df = webtext.pack_token_bins(docs, budget=64)
+    pack_plan = plan_of(pack_df, "simple")
+    # round 6 (two-phase prefix sum) initial plan: range agg on lang,
+    # the (lang,__bkt) window exchange TWICE pre-AQE (the local-cumsum
+    # branch and the subtotal branch — AQE collapses them to one
+    # ReusedExchange at runtime, asserted below), tiny offsets window
+    # on lang, final (lang,bin) agg; everything else is a broadcast
+    assert pack_plan.count("Exchange hashpartitioning") <= 6, pack_plan
+    pack_df.collect()
+    final = plan_of(pack_df, "simple")
+    assert "ReusedExchange" in final or "reused exchange" in final.lower(), final
+
+
+def test_pack_token_bins_no_single_task_stratum_window(spark):
+    """Round-6 scale audit: the cumsum window over the RAW token rows
+    must partition by (stratum, bucket) — a window partitioned by the
+    low-cardinality stratum alone puts tens of TB into one task's sort
+    at 100 TB. Only the tiny bucket-offset window (over <= n_buckets
+    aggregated __bt subtotal rows) may key on the stratum alone."""
+    from jschon_spark.operators import webtext
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d e").alias("text"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+    plan = plan_of(webtext.pack_token_bins(docs, budget=64), "simple")
+    saw_raw = saw_off = False
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        spec = line.split("windowspecdefinition")[1]
+        if "doc_id" in spec:  # raw-row cumsum window, ordered by id
+            assert spec.index("__bkt") < spec.index("doc_id"), line
+            saw_raw = True
+        else:  # offsets window: consumes only the __bt subtotals
+            assert "sum(__bt" in line, line
+            saw_off = True
+    assert saw_raw and saw_off, plan
 
 
 def test_line_dedup_frequent_set_broadcasts_and_ships_hashes(spark, tmp_path):
