@@ -791,6 +791,8 @@ def test_url_features_hand_computed(spark):
     assert got[3].host == "mirror.example.org"            # trailing dot
     assert got[3].url_canon == "ftp://mirror.example.org/d"
     assert got[4].url_canon == "https://example.org/"     # empty path -> /
+    assert got[5].parse_ok is False and got[5].host is None
+    assert got[6].domain == "localhost"                   # single label
 
 
 def test_url_features_psl_registrable_domain(spark):
@@ -818,8 +820,6 @@ def test_url_features_psl_registrable_domain(spark):
     assert got[5] == "example.org"
     assert got[6] == "co.uk"                      # no registrable part
     assert got[7] == "alpha.blogspot.co.uk"
-    assert got[5].parse_ok is False and got[5].host is None
-    assert got[6].domain == "localhost"                   # single label
 
 
 def test_unigram_logprob_hand_computed(spark):
