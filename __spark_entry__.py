@@ -187,6 +187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_bins_docs": Q.pack_token_bins_docs,
         "url_features_docs": Q.url_features_docs,
         "lm_score_docs": Q.lm_score_docs,
+        # round 6: the END-TO-END curation chain as one oracle row —
+        # line_dedup -> c4 -> minhash dedup -> representatives ->
+        # stratified sample -> domain cap -> packing plan
+        "curation_pipeline_docs": Q.curation_pipeline_docs,
     }
 
 
@@ -821,6 +825,151 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, bin, count(*) AS n_docs,
                    sum(n_tokens) AS total_tokens
             FROM b GROUP BY 1, 2
+        """,
+        # round 6: the END-TO-END curation chain replayed stage by
+        # stage — line frequency + anti-join rebuild, C4 line filter,
+        # md5 minhash/LSH pairs, recursive-CTE connected components
+        # for keep-min representatives, md5-threshold sample,
+        # per-source rank cap, global running-sum packing
+        "curation_pipeline_docs": rf"""
+            WITH RECURSIVE planted AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 41 = 0
+                           THEN '{Q._CURATION_DUP_PREFIX}'
+                                || CAST(doc_id // 410 AS varchar)
+                                || '{Q._CURATION_DUP_SUFFIX}'
+                           ELSE text || '.' END)
+                     || chr(10) ||
+                     CASE doc_id % 7
+                       WHEN 0 THEN 'subscribe to our newsletter today'
+                       WHEN 1 THEN 'all rights reserved worldwide'
+                       WHEN 2 THEN 'click here to accept cookies'
+                       WHEN 3 THEN 'share this page with friends'
+                       ELSE 'note ' || cast(doc_id AS varchar)
+                            || ' unique footer'
+                     END ||
+                     CASE WHEN doc_id % 11 = 0
+                          THEN chr(10) || 'all rights reserved worldwide'
+                          ELSE '' END AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(generate_series(
+                       1, len(string_split(text, chr(10))))) AS pos
+              FROM planted
+            ), freq AS (
+              SELECT md5(line) AS h FROM lines
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 30
+            ), kept0 AS (
+              SELECT l.doc_id, l.pos, l.line FROM lines l
+              ANTI JOIN freq f ON md5(l.line) = f.h
+            ), ld AS (
+              SELECT p.doc_id, coalesce(k.text_dedup, '') AS text
+              FROM (SELECT DISTINCT doc_id FROM planted) p
+              LEFT JOIN (SELECT doc_id,
+                                string_agg(line, chr(10) ORDER BY pos)
+                                  AS text_dedup
+                         FROM kept0 GROUP BY 1) k USING (doc_id)
+            ), c4 AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split(text, chr(10)),
+                       l -> regexp_matches(l, '[.!?"]$')
+                            AND len(string_split(l, ' ')) >= 5
+                            AND NOT contains(lower(l), 'javascript')
+                     ) AS kept,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(text, '{{') AS has_brace
+              FROM ld
+            ), surv AS (
+              SELECT doc_id,
+                     array_to_string(kept, chr(10)) AS text
+              FROM c4
+              WHERE NOT has_lorem AND NOT has_brace AND len(kept) >= 1
+            ), base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                         '\s+'), x -> x <> '') AS toks
+              FROM surv
+            ), shg AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) - 2 <= 0
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(
+                                        list_slice(toks, i, i + 2), ' ')))
+                     END AS sh
+              FROM base
+            ),
+            sig AS (SELECT doc_id, sh, [{_MINHASH_SIG}] AS sig FROM shg),
+            bands AS (SELECT doc_id, unnest([{_MINHASH_BANDS}]) AS s FROM sig),
+            bb AS (SELECT doc_id, s.band AS band, s.bucket AS bucket FROM bands),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bb l JOIN bb r
+                ON l.band = r.band AND l.bucket = r.bucket
+                   AND l.doc_id < r.doc_id
+            ), pairs AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c JOIN shg a ON a.doc_id = c.id_a
+                          JOIN shg b ON b.doc_id = c.id_b
+              WHERE {_JAC} >= 0.5
+            ),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+              SELECT a AS id, a AS r FROM edges
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+            ),
+            losers AS (
+              SELECT id FROM (SELECT id, min(r) AS cluster_id
+                              FROM reach GROUP BY id)
+              WHERE id <> cluster_id
+            ),
+            reps AS (
+              SELECT s.doc_id, s.text FROM surv s
+              ANTI JOIN losers lo ON s.doc_id = lo.id
+            ),
+            enriched AS (
+              SELECT r.doc_id, r.text, d.lang, d.source, d.n_chars
+              FROM reps r JOIN documents d USING (doc_id)
+            ),
+            sampled AS (
+              SELECT * FROM enriched
+              WHERE substr(md5(cast(doc_id AS varchar)), 1, 8) <
+                    CASE lang WHEN 'en' THEN '80000000'
+                              WHEN 'de' THEN '40000000'
+                              WHEN 'fr' THEN '40000000'
+                              ELSE '10000000' END
+            ),
+            capped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY source
+                                             ORDER BY n_chars DESC, doc_id)
+                            AS rank
+                FROM sampled)
+              WHERE rank <= 5
+            ),
+            t AS (
+              SELECT lang, doc_id,
+                     len(string_split(text, ' ')) AS n_tokens
+              FROM capped
+            ), b2 AS (
+              SELECT lang, n_tokens,
+                     CAST(floor(
+                       (sum(n_tokens) OVER (PARTITION BY lang
+                                            ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) / 256.0) AS BIGINT) AS bin
+              FROM t
+            )
+            SELECT lang, bin, count(*) AS n_docs,
+                   sum(n_tokens) AS total_tokens
+            FROM b2 GROUP BY 1, 2
         """,
         # url canonicalization: replay every regex verbatim (anchored
         # single-match replaces, so Spark's replace-all == DuckDB's

@@ -1476,3 +1476,66 @@ def lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles distinct tokens only; the corpus text never shuffles."""
     docs = load(spark, sf_dir, "documents")
     return webtext.unigram_logprob_score(docs, vocab_size=20)
+
+
+# one sentence per duplicate-template bucket: ends in '.', >= 5 words
+# (survives C4), appears in ~10 docs per bucket (BELOW the line-dedup
+# min_docs=30 so the template itself is never dropped as boilerplate,
+# but plenty for minhash to pair within the bucket)
+_CURATION_DUP_PREFIX = "duplicated template sentence number "
+_CURATION_DUP_SUFFIX = " appears here in cloned documents."
+
+
+def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END webtext curation chain, oracle-gated as ONE query
+    (round 6): line_dedup -> c4_clean -> minhash near-dup ->
+    representatives -> stratified_sample -> per_key_cap ->
+    pack_token_bins, each stage consuming the previous stage's output
+    — catches cross-operator contract drift that per-op oracles miss.
+
+    Planting: every 41st doc's body is replaced by a shared template
+    sentence (one variant per 410-id bucket, so each template lands in
+    ~10 docs — minhash-pairable but below the line-dedup boilerplate
+    threshold at every SF), everything else gets terminal punctuation
+    so C4 keeps the main line; the _plant_lines footers ride on top
+    and must vanish through line_dedup (shared) or C4 (unpunctuated).
+
+    The DuckDB oracle replays the full chain: line frequency +
+    anti-join rebuild, the C4 line filter, the md5 minhash/LSH
+    pipeline, recursive-CTE connected components for representatives,
+    the md5-threshold sample, the per-source rank cap, and the global
+    running-sum packing. 100 TB shape: every stage is the library
+    operator, so the scale properties (broadcast frequent set,
+    zero-shuffle C4, banded LSH, distributed prefix-sum packing) are
+    the per-op ones.
+    """
+    docs = load(spark, sf_dir, "documents")
+    template = F.concat(
+        F.lit(_CURATION_DUP_PREFIX),
+        F.expr("CAST(doc_id DIV 410 AS STRING)"),
+        F.lit(_CURATION_DUP_SUFFIX),
+    )
+    seeded = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 41 == 0, template)
+        .otherwise(F.concat(F.col("text"), F.lit("."))),
+    )
+    ld = webtext.line_dedup(_plant_lines(seeded), min_docs=30).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    c4 = webtext.c4_clean(ld, min_words=5)
+    surv = c4.filter("c4_passed").select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    pairs = dedup.minhash_near_duplicates_portable(surv, "doc_id", "text")
+    reps = dedup.dedup_representatives(surv, pairs, "doc_id")
+    enriched = reps.join(
+        docs.select("doc_id", "lang", "source", "n_chars"), "doc_id"
+    )
+    sampled = webtext.stratified_sample(
+        enriched,
+        rates={"en": 0.5, "de": 0.25, "fr": 0.25},
+        default_rate=0.0625,
+    )
+    capped = webtext.per_key_cap(sampled, "source", "n_chars", "doc_id", k=5)
+    return webtext.pack_token_bins(capped, budget=256)
