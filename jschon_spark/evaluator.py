@@ -251,27 +251,159 @@ IDN_EMAIL_PATTERN = (
 )
 
 
+_IDN_LETTER_CATS = ("Ll", "Lu", "Lo", "Lm", "Lt")
+_IDN_MARK_CATS = ("Mn", "Mc", "Me")
+
+
+def _idn_name_is(ch: str, *prefixes: str) -> bool:
+    import unicodedata as _ud
+
+    name = _ud.name(ch, "")
+    return name.startswith(prefixes)
+
+
+def _idn_valid_ulabel(lab: str, bidi_domain: bool) -> bool:
+    """One decoded U-label (or plain LDH label) against RFC 5891
+    §4.2.3 placement rules, the RFC 5892 CONTEXTJ/CONTEXTO rules, NFC
+    stability, and (when the whole name is a Bidi domain) the RFC
+    5893 Bidi rule."""
+    import unicodedata as _ud
+
+    if not lab or len(lab) > 63:
+        return False
+    if lab[0] == "-" or lab[-1] == "-":
+        return False
+    # RFC 5891 4.2.3.1: hyphens in positions 3+4 are reserved for the
+    # ACE prefix; any label still carrying them here is not a valid
+    # A-label (those were decoded before this check) -> reject
+    if len(lab) >= 4 and lab[2] == "-" and lab[3] == "-":
+        return False
+    if _ud.category(lab[0]) in _IDN_MARK_CATS:  # RFC 5891 4.2.3.2
+        return False
+    if _ud.normalize("NFC", lab) != lab:  # U-labels must be NFC
+        return False
+    for i, ch in enumerate(lab):
+        if ch == "-":
+            continue
+        o = ord(ch)
+        if o < 128:
+            if not (ch.isalpha() or ch.isdigit()):
+                return False
+            continue
+        if o == 0x200C:  # ZWNJ (CONTEXTJ): only after a virama
+            if i == 0 or _ud.combining(lab[i - 1]) != 9:
+                return False
+            continue
+        if o == 0x200D:  # ZWJ (CONTEXTJ): only after a virama
+            if i == 0 or _ud.combining(lab[i - 1]) != 9:
+                return False
+            continue
+        if o == 0x00B7:  # MIDDLE DOT (CONTEXTO): between two 'l'
+            if (i == 0 or i == len(lab) - 1
+                    or lab[i - 1] != "l" or lab[i + 1] != "l"):
+                return False
+            continue
+        if o == 0x0375:  # GREEK KERAIA (CONTEXTO): before Greek
+            if i == len(lab) - 1 or not _idn_name_is(lab[i + 1], "GREEK"):
+                return False
+            continue
+        if o in (0x05F3, 0x05F4):  # GERESH/GERSHAYIM: after Hebrew
+            if i == 0 or not _idn_name_is(lab[i - 1], "HEBREW"):
+                return False
+            continue
+        if o == 0x30FB:  # KATAKANA MIDDLE DOT: label needs Japanese
+            # the dot itself is named KATAKANA* but its script is
+            # Common — it must not satisfy its own requirement
+            if not any(
+                ord(c2) != 0x30FB
+                and _idn_name_is(c2, "HIRAGANA", "KATAKANA", "CJK")
+                for c2 in lab
+            ):
+                return False
+            continue
+        cat = _ud.category(ch)
+        if cat not in _IDN_LETTER_CATS + _IDN_MARK_CATS and cat != "Nd":
+            return False
+    # CONTEXTO: ARABIC-INDIC and EXTENDED ARABIC-INDIC digits must not
+    # mix within a label
+    if any(0x0660 <= ord(c) <= 0x0669 for c in lab) and any(
+        0x06F0 <= ord(c) <= 0x06F9 for c in lab
+    ):
+        return False
+    if bidi_domain:
+        d0 = _ud.bidirectional(lab[0])
+        if d0 in ("R", "AL"):
+            rtl = True
+        elif d0 == "L":
+            rtl = False
+        else:
+            return False  # Bidi rule 1
+        allowed = (
+            {"R", "AL", "AN", "EN", "ES", "CS", "ET", "ON", "BN", "NSM"}
+            if rtl
+            else {"L", "EN", "ES", "CS", "ET", "ON", "BN", "NSM"}
+        )
+        if any(_ud.bidirectional(c) not in allowed for c in lab):
+            return False  # Bidi rules 2 and 5
+        j = len(lab) - 1
+        while j >= 0 and _ud.bidirectional(lab[j]) == "NSM":
+            j -= 1
+        last = _ud.bidirectional(lab[j])
+        if rtl and last not in ("R", "AL", "EN", "AN"):
+            return False  # Bidi rule 3
+        if not rtl and last not in ("L", "EN"):
+            return False  # Bidi rule 6
+        if rtl and any(_ud.bidirectional(c) == "EN" for c in lab) and any(
+            _ud.bidirectional(c) == "AN" for c in lab
+        ):
+            return False  # Bidi rule 4
+    return True
+
+
 def _fmt_idn_hostname(v: str) -> bool:
-    """Pragmatic RFC 5890 internationalized hostname: dot-separated
-    labels of 1-63 code points, letters/digits (any script, unicode
-    L*/N* — matching Java's \\p{L}\\p{N} in the Column twin) plus
-    non-edge hyphens, total length <= 253."""
+    """RFC 5890/5891 internationalized hostname (round 6 — upgraded
+    from the per-label letter/digit heuristic): per-label U-label
+    validation with the RFC 5892 CONTEXTJ/CONTEXTO rules (ZWNJ/ZWJ
+    only after a virama, l·l MIDDLE DOT, Greek keraia, Hebrew
+    geresh/gershayim, katakana middle dot, no Arabic digit-set
+    mixing), NFC stability, no leading combining mark, RFC 5891
+    hyphen placement, and the RFC 5893 Bidi rule applied across the
+    whole name when any label is right-to-left. ``xn--`` A-labels are
+    punycode-decoded (RFC 3492) and the DECODED U-label is validated.
+
+    Documented pragmatic residue: the RFC 5892 derived-property
+    tables are not vendored, so Appendix B exception code points and
+    case/NFKC-unstable characters (e.g. uppercase non-ASCII letters)
+    are accepted where strict IDNA2008 would reject.
+
+    This format has NO Column lowering (the contextual/bidi rules are
+    beyond Java regex) — typed/variant paths route schemas using it
+    to the batch evaluator."""
     if not v or len(v) > 253:
         return False
+    labels = []
     for lab in v.split("."):
         if not lab or len(lab) > 63:
             return False
-        if lab[0] == "-" or lab[-1] == "-":
-            return False
-        for ch in lab:
-            if ch == "-":
-                continue
-            if ord(ch) < 128:
-                if not (ch.isascii() and ch.isalnum()):
-                    return False
-            elif not ch.isalnum():
+        low = lab.lower() if lab.isascii() else lab
+        if low.startswith("xn--") and lab.isascii():
+            try:
+                decoded = low[4:].encode("ascii").decode("punycode")
+            except UnicodeError:
                 return False
-    return True
+            if not decoded or decoded.isascii():
+                return False  # A-label must encode actual unicode
+            labels.append(decoded)
+        else:
+            labels.append(lab)
+    import unicodedata as _ud
+
+    bidi_domain = any(
+        _ud.bidirectional(c) in ("R", "AL", "AN")
+        for lab in labels
+        for c in lab
+    )
+    return all(_idn_valid_ulabel(lab, bidi_domain) for lab in labels)
 
 _HOSTNAME_RE = re.compile(
     r"^(?=.{1,253}$)([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)*"
@@ -346,6 +478,9 @@ class Evaluator:
         if format_validators:
             self.formats.update(format_validators)
         self._pattern_cache: dict[str, re.Pattern] = {}
+        # $schema URI -> does its (catalog-resolvable) metaschema
+        # declare the format-assertion vocabulary? (round 6)
+        self._fmt_assert_cache: dict[str, bool] = {}
 
     # -- public API ------------------------------------------------------
     def validate(self, schema: Any, instance: Any, uri: str | None = None) -> Outcome:
@@ -359,6 +494,28 @@ class Evaluator:
         if "2020-12" in uri or "draft/next" in uri:
             return "2020-12"
         return None
+
+    def _metaschema_asserts_format(self, meta_uri: str) -> bool:
+        """True when ``$schema`` points at a catalog-resolvable custom
+        metaschema whose ``$vocabulary`` DECLARES the format-assertion
+        vocabulary (2020-12 §7.2: declaring it — required true or
+        false — makes ``format`` an assertion, independent of the
+        engine-level assert_formats switch). Standard json-schema.org
+        metaschemas use format-annotation and are never resolvable
+        here, so they keep the engine default. Round 6."""
+        cached = self._fmt_assert_cache.get(meta_uri)
+        if cached is not None:
+            return cached
+        val = False
+        try:
+            target, _ = self.catalog.resolve(meta_uri, meta_uri)
+            vocab = target.get("$vocabulary") if isinstance(target, dict) else None
+            if isinstance(vocab, dict):
+                val = any("/vocab/format-assertion" in u for u in vocab)
+        except Exception:
+            val = False
+        self._fmt_assert_cache[meta_uri] = val
+        return val
 
     # -- helpers ----------------------------------------------------------
     def _pat(self, pattern: str) -> re.Pattern:
@@ -377,6 +534,7 @@ class Evaluator:
         ipath: str,
         kpath: str,
         dialect: str = "2020-12",
+        fmt_assert: bool = False,
     ) -> Outcome:
         if isinstance(schema, bool):
             if schema:
@@ -402,6 +560,10 @@ class Evaluator:
             d = self._dialect_of(schema["$schema"])
             if d:
                 dialect = d
+            # a resource's own metaschema decides whether `format`
+            # asserts there (REPLACES the inherited setting — each
+            # resource is governed by its own dialect)
+            fmt_assert = self._metaschema_asserts_format(schema["$schema"])
 
         out = Outcome(True)
         jt = json_type(instance)
@@ -423,6 +585,7 @@ class Evaluator:
                 ipath + i_suffix,
                 f"{kpath}/{kw_suffix}",
                 dialect,
+                fmt_assert,
             )
 
         def absorb(o: Outcome, keyword: str, msg: str | None = None) -> None:
@@ -443,7 +606,7 @@ class Evaluator:
         # ---- $ref / $dynamicRef (in-place, annotations pass through) ---
         if "$ref" in schema:
             target, tbase = self.catalog.resolve(schema["$ref"], base_uri)
-            o = self._eval(target, instance, tbase, dynamic_scope, ipath, f"{kpath}/$ref", dialect)
+            o = self._eval(target, instance, tbase, dynamic_scope, ipath, f"{kpath}/$ref", dialect, fmt_assert)
             merge_annotations(o)
             if not o.valid:
                 absorb(o, "$ref")
@@ -464,7 +627,7 @@ class Evaluator:
                     if cand is not None:
                         target, tbase = cand, scope_base
                         break
-            o = self._eval(target, instance, tbase, dynamic_scope, ipath, f"{kpath}/$dynamicRef", dialect)
+            o = self._eval(target, instance, tbase, dynamic_scope, ipath, f"{kpath}/$dynamicRef", dialect, fmt_assert)
             merge_annotations(o)
             if not o.valid:
                 absorb(o, "$dynamicRef")
@@ -479,7 +642,7 @@ class Evaluator:
                         target, tbase = self.catalog.resolve("#", scope_base)
                         break
             o = self._eval(target, instance, tbase, dynamic_scope, ipath,
-                           f"{kpath}/$recursiveRef", dialect)
+                           f"{kpath}/$recursiveRef", dialect, fmt_assert)
             merge_annotations(o)
             if not o.valid:
                 absorb(o, "$recursiveRef")
@@ -574,7 +737,7 @@ class Evaluator:
                                 f"property {k!r} requires {missing}",
                             )
 
-        if "format" in schema and self.assert_formats:
+        if "format" in schema and (self.assert_formats or fmt_assert):
             entry = self.formats.get(schema["format"])
             if entry is not None:
                 fn, types_ = entry

@@ -82,6 +82,16 @@ class _Compiler:
         if _UNSUPPORTED & schema.keys():
             raise _Unsupported
 
+        # custom metaschemas can re-wire keyword semantics (a
+        # $vocabulary declaring format-assertion makes `format`
+        # assert, honored by the evaluator since round 6) — decline,
+        # the evaluator is the semantics source of truth
+        s_meta = schema.get("$schema")
+        if isinstance(s_meta, str) and not s_meta.startswith(
+            "https://json-schema.org/draft"
+        ):
+            raise _Unsupported
+
         # placeholder for recursion: late-bound through a cell
         cell: list[Check | None] = [None]
 

@@ -226,6 +226,15 @@ class ColumnLowerer:
             from urllib.parse import urljoin
 
             base_uri = urljoin(base_uri, schema["$id"]).split("#", 1)[0]
+        # custom metaschemas can re-wire keyword semantics (notably a
+        # $vocabulary declaring format-assertion makes `format` assert
+        # — honored by the evaluator since round 6): anything but the
+        # standard json-schema.org dialect URIs routes to batch
+        s_meta = schema.get("$schema")
+        if isinstance(s_meta, str) and not s_meta.startswith(
+            "https://json-schema.org/draft"
+        ):
+            raise CannotLower(f"custom metaschema {s_meta!r} -> batch")
         json_t = spark_json_type(dtype)
         valids: list[Column] = []
         viols: list[Column] = []
@@ -1193,18 +1202,17 @@ class ColumnLowerer:
         "relative-json-pointer": r"^(0|[1-9][0-9]*)(#|(/([^~/]|~[01])*)*)$",
         # round 5: remaining 2020-12 vocabulary names — the SAME source
         # strings the evaluator compiles (evaluator.py defines them
-        # avoiding \s/\w so Java and Python read them identically);
-        # idn-hostname is the \p{L}\p{N} Java twin of the evaluator's
-        # per-label check (same label grammar, same length caps)
+        # avoiding \s/\w so Java and Python read them identically).
+        # idn-hostname deliberately has NO Column form since round 6:
+        # the RFC 5892 contextual rules and RFC 5893 Bidi rule are
+        # beyond Java regex (no combining-class or bidi-category
+        # properties), so schemas asserting it route to the batch
+        # evaluator's full implementation (evaluator._fmt_idn_hostname)
         "uri-reference": f"^{URI_REFERENCE_PATTERN}$",
         "iri": f"^{IRI_PATTERN}$",
         "iri-reference": f"^{IRI_REFERENCE_PATTERN}$",
         "uri-template": f"^{URI_TEMPLATE_PATTERN}$",
         "idn-email": f"^{IDN_EMAIL_PATTERN}$",
-        "idn-hostname": (
-            r"^(?=.{1,253}$)([\p{L}\p{N}]([\p{L}\p{N}-]{0,61}[\p{L}\p{N}])?\.)*"
-            r"[\p{L}\p{N}]([\p{L}\p{N}-]{0,61}[\p{L}\p{N}])?$"
-        ),
     }
 
     @classmethod

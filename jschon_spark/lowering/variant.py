@@ -202,6 +202,11 @@ class VariantLowerer:
         # non-string $schema is ignored, mirroring the evaluator's
         # isinstance gate (a TypeError here would crash compile instead
         # of falling back to batch)
+        if isinstance(s, str) and not s.startswith(
+            "https://json-schema.org/draft"
+        ):
+            # custom metaschema may declare format-assertion -> batch
+            raise CannotLower("custom root metaschema -> batch")
         self.dialect = (
             "2019-09" if (isinstance(s, str) and "2019-09" in s) else "2020-12"
         )
@@ -243,6 +248,10 @@ class VariantLowerer:
             raise CannotLower("schema must be bool or object")
 
         if isinstance(schema.get("$schema"), str):
+            if not schema["$schema"].startswith("https://json-schema.org/draft"):
+                # custom metaschemas can re-wire keyword semantics
+                # (format-assertion $vocabulary, round 6) -> batch
+                raise CannotLower("custom metaschema -> batch")
             sub_d = "2019-09" if "2019-09" in schema["$schema"] else "2020-12"
             if sub_d != self.dialect:
                 raise CannotLower("nested dialect switch -> batch")

@@ -19,7 +19,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from jschon_spark.operators import _cachereg, _partitions
@@ -171,13 +171,17 @@ def minhash_near_duplicates(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__bn")
+        # window count over the SAME (band,bucket) exchange the
+        # self-join below needs — no separate aggregate + join (the
+        # round-5 shape cost an extra full pass over the banded rows;
+        # the window's sort also pre-sorts the join keys, so the
+        # self-join runs exchange-free on the reused shuffle)
+        wb = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
         )
-        banded = banded.join(
-            sizes.filter(F.col("__bn") <= max_bucket_size),
-            ["band", "bucket"],
-        ).drop("__bn")
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -428,12 +432,16 @@ def simhash_near_duplicates(
         ).alias("c"),
     ).select("id", "sig", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
     if max_bucket_size is not None:
-        sizes = chunked.groupBy("chunk", "val").agg(
-            F.count(F.lit(1)).alias("__bn")
+        # window count on the self-join's own (chunk,val) exchange —
+        # see minhash_near_duplicates above (round-6 perf fix; the
+        # old aggregate+join shape made the capped xxhash path 3x
+        # slower than the UNCAPPED md5 twin at sf0.1)
+        wb = Window.partitionBy("chunk", "val")
+        chunked = (
+            chunked.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
         )
-        chunked = chunked.join(
-            sizes.filter(F.col("__bn") <= max_bucket_size), ["chunk", "val"]
-        ).drop("__bn")
     l, r = chunked.alias("l"), chunked.alias("r")
     return (
         l.join(

@@ -489,14 +489,17 @@ def embedding_near_duplicates(
     # products per row (interpreted, not codegen'd) — persist so it
     # runs once per row, not twice
     if max_bucket_size is not None:
-        sizes = hashed.groupBy("tbl", "bucket").agg(
-            F.count(F.lit(1)).alias("__bn")
-        )
+        # window count over the (tbl,bucket) exchange instead of a
+        # separate aggregate + join: the old shape recomputed the
+        # interpreted HOF bucket projection for the sizes branch
+        # (it read `hashed` BEFORE the persist below) — round 6
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("tbl", "bucket")
         hashed = (
-            hashed.join(
-                sizes.filter(F.col("__bn") <= max_bucket_size),
-                ["tbl", "bucket"],
-            ).drop("__bn")
+            hashed.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
         )
     hashed = hashed.persist()
     _cachereg.track("embedding_near_duplicates_hashed", hashed)

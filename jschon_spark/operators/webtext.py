@@ -3,9 +3,9 @@ training-data pipeline runs between crawl and tokenizer (the reference
 engine has no analogue — LLM-pipeline family, same tier as dedup/
 textqa).
 
-All five operators are pure DataFrame algebra — no Python UDFs — so
-every predicate stays inside whole-stage codegen and the only
-shuffles are the ones the semantics require:
+All operators are pure DataFrame algebra — no Python UDFs — so every
+predicate stays inside whole-stage codegen and the only shuffles are
+the ones the semantics require:
 
 - ``line_dedup``       — CCNet/RefinedWeb-style corpus-level line
   deduplication: one 16-byte-key aggregation + one anti-join.
@@ -17,7 +17,13 @@ shuffles are the ones the semantics require:
 - ``per_key_cap``      — keep the top-k documents per key (domain
   caps): one hash exchange on the key.
 - ``pack_token_bins``  — contiguous token-budget packing plan per
-  stratum (sequence-packing planner): one exchange + running sum.
+  stratum: a two-phase DISTRIBUTED prefix sum since round 6 (bucket-
+  local window cumsum + broadcast bucket offsets — no single task
+  ever sorts a whole stratum).
+- ``url_features``     — URL canonicalization + PSL registrable
+  domains (vendored snapshot, InSet literals): zero shuffles.
+- ``unigram_logprob_score`` — corpus-unigram LM quality score:
+  token-count aggregation + broadcast vocab.
 """
 
 from __future__ import annotations

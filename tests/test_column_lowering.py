@@ -383,6 +383,9 @@ def test_format_column_forms_match_python_validators(spark):
         compiled = eng.compile(
             {"properties": {"s": {"format": fmt}}}
         )
+        # apply_typed falls back to batch when a format has no Column
+        # form (idn-hostname since round 6) — verdicts must match the
+        # Python validator either way
         got_typed = [r.passed for r in compiled.apply_typed(df)
                      .select("passed").collect()]
         assert got_typed == want, (fmt, list(zip(vals, got_typed, want)))
@@ -390,6 +393,16 @@ def test_format_column_forms_match_python_validators(spark):
         jdf = spark.createDataFrame(
             [(json.dumps({"s": v}),) for v in vals], "doc string"
         )
+        if fmt == "idn-hostname":
+            # round 6: full RFC 5892/5893 rules are beyond Java regex —
+            # the variant lowerer must DECLINE (batch fallback), never
+            # silently assert a looser predicate
+            with pytest.raises(CannotLower):
+                validate_json_column_variant(
+                    jdf, "doc", compiled.schema, compiled.catalog,
+                    assert_formats=True,
+                )
+            continue
         var = validate_json_column_variant(
             jdf, "doc", compiled.schema, compiled.catalog,
             assert_formats=True,

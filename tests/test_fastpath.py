@@ -14,6 +14,20 @@ from jschon_spark.schema.catalog import SchemaCatalog
 from tests.keyword_cases import CASES, FORMAT_CASES
 
 
+def _has_custom_meta(schema) -> bool:
+    """Custom (non-json-schema.org) metaschemas can re-wire keyword
+    semantics (format-assertion $vocabulary) — fastpath declines them
+    by design (round 6)."""
+    if isinstance(schema, dict):
+        s = schema.get("$schema")
+        if isinstance(s, str) and not s.startswith("https://json-schema.org/draft"):
+            return True
+        return any(_has_custom_meta(v) for v in schema.values())
+    if isinstance(schema, list):
+        return any(_has_custom_meta(v) for v in schema)
+    return False
+
+
 def _compile(schema, assert_formats=False):
     catalog = SchemaCatalog()
     base = catalog.register(schema)
@@ -30,7 +44,9 @@ def test_fastpath_matches_evaluator(case):
     if fast is None:
         assert any(
             k in str(schema) for k in ("unevaluated", "$dynamicRef", "$recursiveRef")
-        ), f"fastpath declined a supported schema: {schema}"
+        ) or _has_custom_meta(schema), (
+            f"fastpath declined a supported schema: {schema}"
+        )
         return
     for data, want in case["tests"]:
         assert fast(data) is want, f"{schema} {data!r}"
