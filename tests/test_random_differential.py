@@ -479,3 +479,78 @@ def test_dialect_matrix_seeded_population(spark, tag):
     # the population must genuinely exercise both execution tiers
     assert n_fast >= 40, f"only {n_fast} schemas fastpath-compiled"
     assert n_lowered >= 25, f"only {n_lowered} schemas variant-lowered"
+
+
+# ---- round 6: format-assertion-vocabulary equivalence fuzz ------------
+
+def test_format_assertion_vocabulary_equivalence_fuzz():
+    """Seeded differential for the round-6 $vocabulary wiring: for
+    every built-in format and a mutated value population, validating
+    through a CUSTOM metaschema that declares the format-assertion
+    vocabulary (engine switch OFF) must equal validating the plain
+    schema with the engine switch ON — the vocabulary route and the
+    switch route are the same assertion semantics."""
+    from jschon_spark.evaluator import FORMAT_VALIDATORS, Evaluator
+
+    rng = random.Random(20260818)
+    alphabet = "ab01-._~:/?#@!$&'()*+,;= %{}\\^<>äü實\t"
+
+    def mutate(s: str) -> str:
+        if not s:
+            return rng.choice(alphabet)
+        i = rng.randrange(len(s))
+        op = rng.randrange(3)
+        ch = rng.choice(alphabet)
+        if op == 0:
+            return s[:i] + ch + s[i + 1:]
+        if op == 1:
+            return s[:i] + ch + s[i:]
+        return s[:i] + s[i + 1:]
+
+    exemplars = {
+        "json-pointer": "/a/b~0c", "relative-json-pointer": "1/a",
+        "ipv4": "192.168.3.17", "ipv6": "::ffff:1.2.3.4",
+        "date": "2024-02-29", "time": "23:59:59+05:30",
+        "date-time": "2024-02-29T23:59:59Z",
+        "uuid": "123e4567-e89b-12d3-a456-426614174000",
+        "regex": "^a[bc]+$", "uri": "https://e.org/p?q=1#f",
+        "hostname": "a-b.example.com", "email": "a+tag@e.co",
+        "duration": "P1Y2M3DT4H5M6S", "uri-reference": "//h/p?q#f",
+        "iri": "http://exämple.org/päth",
+        "iri-reference": "/päth/ü",
+        "uri-template": "http://e.org/{id}{/path*}{?q:3}",
+        "idn-email": "üser@exämple.org",
+        "idn-hostname": "exämple.實例.org",
+    }
+    assert set(exemplars) == set(FORMAT_VALIDATORS)
+    checked = 0
+    for fmt, seed in exemplars.items():
+        vals, seen = [seed], {seed}
+        while len(vals) < 12:
+            v = mutate(rng.choice(vals))
+            if v not in seen:
+                seen.add(v)
+                vals.append(v)
+        meta_uri = f"https://ex.test/fuzz-meta-{fmt}"
+        via_vocab = {
+            "$defs": {"meta": {
+                "$id": meta_uri,
+                "$vocabulary": {
+                    "https://json-schema.org/draft/2020-12/vocab/core": True,
+                    "https://json-schema.org/draft/2020-12/vocab/format-assertion": True,
+                }}},
+            "properties": {"s": {
+                "$id": f"https://ex.test/fuzz-res-{fmt}",
+                "$schema": meta_uri,
+                "format": fmt}},
+        }
+        plain = {"properties": {"s": {"format": fmt}}}
+        ev_off = Evaluator(assert_formats=False)
+        ev_on = Evaluator(assert_formats=True)
+        for v in vals:
+            doc = {"s": v}
+            got = ev_off.validate(via_vocab, doc).valid
+            want = ev_on.validate(plain, doc).valid
+            assert got == want, (fmt, v, got, want)
+            checked += 1
+    assert checked >= 200
