@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # line_dedup -> c4 -> minhash dedup -> representatives ->
         # stratified sample -> domain cap -> packing plan
         "curation_pipeline_docs": Q.curation_pipeline_docs,
+        # round 6: token-distribution entropy signals + domain/host
+        # blocklist verdicts (PSL-aware)
+        "entropy_docs": Q.entropy_docs,
+        "blocklist_docs": Q.blocklist_docs,
     }
 
 
@@ -970,6 +974,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, bin, count(*) AS n_docs,
                    sum(n_tokens) AS total_tokens
             FROM b2 GROUP BY 1, 2
+        """,
+        # round 6: token-distribution entropy — the count vector and
+        # the ln-based entropy aggregate replayed with list HOFs
+        # (both engines sum <=O(100) terms; well inside the 10-sig-
+        # digit hash normalization)
+        "entropy_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, toks,
+                     list_transform(
+                       list_distinct(toks),
+                       d -> len(list_filter(toks, t2 -> t2 = d))) AS cnts
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(coalesce(len(toks), 0) AS INT) AS ent_n_tokens,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(cnts) AS DOUBLE) / len(toks)
+                        ELSE 0.0 END AS distinct_token_frac,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(list_max(cnts) AS DOUBLE) / len(toks)
+                        ELSE 0.0 END AS top_token_mass,
+                   CASE WHEN len(toks) > 0
+                        THEN -list_sum(list_transform(cnts,
+                               c2 -> (CAST(c2 AS DOUBLE) / len(toks))
+                                     * ln(CAST(c2 AS DOUBLE) / len(toks))))
+                        ELSE 0.0 END AS token_entropy
+            FROM c
+        """,
+        # round 6: blocklist verdicts — same planting + PSL domain
+        # replay as url_features_docs, plus the three-term hit rule
+        # (registrable domain IN, exact host IN, dotted-suffix LIKE)
+        "blocklist_docs": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE doc_id % 8
+                       WHEN 0 THEN 'https://WWW.' || source
+                            || '.Example.ORG:443/a/'
+                            || cast(doc_id AS varchar) || '?q=1#frag'
+                       WHEN 1 THEN 'http://' || source
+                            || '.example.org:8080/b/'
+                            || cast(doc_id AS varchar)
+                       WHEN 2 THEN 'https://user:pw@' || source
+                            || '.example.org/c?x=2&y=3'
+                       WHEN 3 THEN 'ftp://mirror.' || source
+                            || '.example.org./d/'
+                            || cast(doc_id AS varchar) || '#f'
+                       WHEN 4 THEN 'https://' || source || '.example.org'
+                       WHEN 5 THEN 'https://news.' || source
+                            || '.co.uk/p/' || cast(doc_id AS varchar)
+                       WHEN 6 THEN 'http://www.' || source || '.com.au/'
+                       ELSE 'not a url ' || cast(doc_id AS varchar)
+                     END AS url
+              FROM documents
+            ), p AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_replace(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                       '^[^@]*@', '')) AS host_l
+              FROM planted
+            ), h AS (
+              SELECT *,
+                     regexp_replace(regexp_replace(host_l,
+                       ':[0-9]+$', ''), '\\.$', '') AS host
+              FROM p
+            ), d AS (
+              SELECT *,
+                     regexp_replace(host, '^www\\.', '') AS domain_base,
+                     (scheme <> '' AND host <> '') AS parse_ok
+              FROM h
+            ), e AS (
+              SELECT *, string_split(domain_base, '.') AS ls FROM d
+            ), f AS (
+              SELECT doc_id,
+                     CASE WHEN parse_ok THEN
+                       CASE WHEN len(ls) >= 4
+                                 AND ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                                     IN ({_PSL3_IN})
+                            THEN ls[-4] || '.' || ls[-3] || '.' || ls[-2]
+                                 || '.' || ls[-1]
+                            WHEN len(ls) >= 3
+                                 AND ls[-2] || '.' || ls[-1] IN ({_PSL2_IN})
+                            THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                            WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+                            ELSE domain_base END
+                     END AS domain,
+                     CASE WHEN parse_ok THEN host END AS host
+              FROM e
+            )
+            SELECT doc_id, domain,
+                   coalesce(
+                     domain IN ('src1.co.uk', 'src2.com.au',
+                                'src5.example.org')
+                     OR host IN ('src1.co.uk', 'src2.com.au',
+                                 'src5.example.org')
+                     OR host LIKE '%.src1.co.uk'
+                     OR host LIKE '%.src2.com.au'
+                     OR host LIKE '%.src5.example.org',
+                     false) AS blocked
+            FROM f
         """,
         # url canonicalization: replay every regex verbatim (anchored
         # single-match replaces, so Spark's replace-all == DuckDB's

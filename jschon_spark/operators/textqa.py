@@ -206,3 +206,56 @@ def pii_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return out.withColumn("pii_redacted", red)
+
+
+def entropy_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-distribution quality signals (round 6): Shannon entropy
+    of the document's token distribution, distinct-token fraction, and
+    the most-frequent-token mass — the standard "degenerate document"
+    detectors (near-zero entropy = keyboard mash / repeated boilerplate;
+    used alongside the Gopher repetition filters, Rae et al. 2021
+    §A1.1 — public method).
+
+    Row-local Column algebra: zero shuffles, no Python. The per-token
+    count vector is built with one HOF over the distinct tokens
+    (O(distinct x tokens) per row — bounded by the document, not the
+    corpus), with both arrays bound once per row via the evaluate-once
+    fence (operators/_hof.py). Engine-portable: DuckDB replays
+    list_transform/list_filter/list_sum verbatim (ln-based entropy,
+    identical on both engines).
+
+    Adds: ent_n_tokens, distinct_token_frac, top_token_mass,
+    token_entropy (nats; 0.0 for empty docs).
+    """
+    from jschon_spark.operators._hof import fence
+
+    tmp = df.withColumn("__toks", fence(tokens(F.col(text_col))))
+    tmp = tmp.withColumn(
+        "__cnts",
+        fence(
+            F.transform(
+                F.array_distinct(F.col("__toks")),
+                lambda d: F.size(F.filter(F.col("__toks"), lambda t: t == d)),
+            )
+        ),
+    )
+    n = F.size(F.col("__toks"))
+    nd = F.size(F.col("__cnts"))
+    # -sum((c/n) * ln(c/n)) via one aggregate over the count vector
+    ent = -F.aggregate(
+        F.col("__cnts"),
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c.cast("double") / n) * F.log(c.cast("double") / n),
+    )
+    return tmp.select(
+        *df.columns,
+        F.coalesce(n, F.lit(0)).alias("ent_n_tokens"),
+        F.when(n > 0, nd.cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("distinct_token_frac"),
+        F.when(n > 0, F.array_max(F.col("__cnts")).cast("double") / n)
+        .otherwise(F.lit(0.0))
+        .alias("top_token_mass"),
+        F.when(n > 0, ent).otherwise(F.lit(0.0)).alias("token_entropy"),
+    )

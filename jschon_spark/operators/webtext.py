@@ -323,9 +323,14 @@ def pack_token_bins(
     )
     local = base.withColumn("__cum", F.sum("n_tokens").over(wloc))
 
-    # phase 3: tiny bucket subtotals (max of the local cumsum, so the
-    # aggregate consumes the same (stratum,bucket) exchange) -> bucket
-    # offsets (window over <= n_buckets rows/stratum) -> broadcast back
+    # phase 3: tiny bucket subtotals -> bucket offsets (window over
+    # <= n_buckets rows/stratum) -> broadcast back. Aggregating
+    # sum(n_tokens) from `local` (NOT max(__cum)) lets Catalyst prune
+    # the Window out of this branch entirely: the plan becomes
+    # Aggregate(ReusedExchange) — the (stratum,bucket) shuffle is
+    # written once and only the cumsum branch pays the sort
+    # (round 6: the max(__cum) form re-sorted the reused exchange,
+    # ~1.6x the naive plan's wall time at 20M rows)
     woff = (
         Window.partitionBy(strata_col)
         .orderBy("__bkt")
@@ -333,7 +338,7 @@ def pack_token_bins(
     )
     offsets = (
         local.groupBy(strata_col, "__bkt")
-        .agg(F.max("__cum").alias("__bt"))
+        .agg(F.sum("n_tokens").alias("__bt"))
         .withColumn("__off", F.sum("__bt").over(woff) - F.col("__bt"))
         .select(strata_col, "__bkt", "__off")
     )
@@ -484,3 +489,44 @@ def unigram_logprob_score(
         F.count("*").alias("n_tokens"),
         F.avg("__lp").alias("mean_logprob"),
     )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    blocked: list[str],
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Domain/host blocklist pass (the C4/Dolma-style "bad domains"
+    filter — public method): a row is blocked when its REGISTRABLE
+    domain (PSL-aware, via :func:`url_features`) or exact host is on
+    the list, or its host is a subdomain of a listed host.
+
+    Row-local Column algebra over the url_features projection — zero
+    shuffles. The list lowers to InSet literals plus one higher-order
+    ``exists`` for the dotted-suffix rule, so this shape is for
+    curated lists (10^0-10^4 entries); a crawl-scale list (millions of
+    hosts) should instead broadcast-join a blocklist dim on ``domain``
+    — same verdict column, one broadcast exchange.
+
+    Output: url_features columns + ``blocked``; rows with
+    ``blocked = true`` are dropped unless ``keep_blocked`` (which
+    keeps them for audit/stats passes).
+    """
+    bl = sorted({b.lower().lstrip(".").rstrip(".") for b in blocked})
+    feat = url_features(df, url_col)
+    host = F.col("host")
+    if bl:
+        arr = F.expr(
+            "array(" + ",".join("'" + b.replace("'", "''") + "'" for b in bl) + ")"
+        )
+        hit = (
+            F.col("domain").isin(bl)
+            | host.isin(bl)
+            | F.exists(arr, lambda b: host.endswith(F.concat(F.lit("."), b)))
+        )
+    else:
+        hit = F.lit(False)
+    out = feat.withColumn("blocked", F.coalesce(hit, F.lit(False)))
+    return out if keep_blocked else out.filter(~F.col("blocked"))

@@ -1539,3 +1539,60 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = webtext.per_key_cap(sampled, "source", "n_chars", "doc_id", k=5)
     return webtext.pack_token_bins(capped, budget=256)
+
+
+def entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution quality signals (round 6): per-doc Shannon
+    entropy, distinct-token fraction, top-token mass — the degenerate-
+    document detectors that ride alongside the Gopher repetition
+    filters. Row-local HOF algebra with evaluate-once fences; zero
+    shuffles. DuckDB replays the count-vector build and the ln-based
+    entropy aggregate verbatim."""
+    docs = load(spark, sf_dir, "documents")
+    return textqa.entropy_features(docs.select("doc_id", "text")).select(
+        "doc_id", "ent_n_tokens", "distinct_token_frac",
+        "top_token_mass", "token_entropy",
+    )
+
+
+def blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/host blocklist verdicts (round 6) over the same planted
+    URL population as url_features_docs: registrable-domain match
+    (PSL-aware), exact-host match, and dotted-suffix subdomain match,
+    all as InSet/HOF Column algebra — zero shuffles. keep_blocked=True
+    so the row count is planting-stable and the oracle hashes the
+    verdict column itself."""
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 8 == 0,
+               F.concat(F.lit("https://WWW."), F.col("source"),
+                        F.lit(".Example.ORG:443/a/"), did, F.lit("?q=1#frag")))
+        .when(F.col("doc_id") % 8 == 1,
+              F.concat(F.lit("http://"), F.col("source"),
+                       F.lit(".example.org:8080/b/"), did))
+        .when(F.col("doc_id") % 8 == 2,
+              F.concat(F.lit("https://user:pw@"), F.col("source"),
+                       F.lit(".example.org/c?x=2&y=3")))
+        .when(F.col("doc_id") % 8 == 3,
+              F.concat(F.lit("ftp://mirror."), F.col("source"),
+                       F.lit(".example.org./d/"), did, F.lit("#f")))
+        .when(F.col("doc_id") % 8 == 4,
+              F.concat(F.lit("https://"), F.col("source"),
+                       F.lit(".example.org")))
+        .when(F.col("doc_id") % 8 == 5,
+              F.concat(F.lit("https://news."), F.col("source"),
+                       F.lit(".co.uk/p/"), did))
+        .when(F.col("doc_id") % 8 == 6,
+              F.concat(F.lit("http://www."), F.col("source"),
+                       F.lit(".com.au/")))
+        .otherwise(F.concat(F.lit("not a url "), did))
+        .alias("url"),
+    )
+    out = webtext.domain_blocklist_filter(
+        planted,
+        blocked=["src1.co.uk", "src2.com.au", "src5.example.org"],
+        keep_blocked=True,
+    )
+    return out.select("doc_id", "domain", "blocked")

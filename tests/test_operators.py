@@ -839,3 +839,74 @@ def test_unigram_logprob_hand_computed(spark):
     assert abs(got[1].mean_logprob - lp_ab) < 1e-12
     assert got[2].n_tokens == 2
     assert abs(got[2].mean_logprob - (lp_ab + floor) / 2) < 1e-12
+
+
+def test_entropy_features_hand_computed(spark):
+    import math
+
+    rows = [(1, "a a b"), (2, ""), (3, "x"), (4, "w w w w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textqa.entropy_features(df).collect()}
+    r1 = got[1]
+    assert r1.ent_n_tokens == 3
+    assert abs(r1.distinct_token_frac - 2 / 3) < 1e-12
+    assert abs(r1.top_token_mass - 2 / 3) < 1e-12
+    want = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(r1.token_entropy - want) < 1e-12
+    assert (got[2].ent_n_tokens, got[2].token_entropy) == (0, 0.0)
+    assert got[3].token_entropy == 0.0 and got[3].top_token_mass == 1.0
+    assert got[4].token_entropy == 0.0 and got[4].distinct_token_frac == 0.25
+
+
+def test_entropy_features_matches_python_oracle(spark):
+    """Seeded differential: the HOF count-vector entropy must equal a
+    pure-Python recomputation (ln base, same token rule)."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "g", "dd", "e5"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textqa.entropy_features(df).collect()}
+    for i, text in rows:
+        toks = [t for t in text.split() if t]
+        n = len(toks)
+        r = got[i]
+        assert r.ent_n_tokens == n
+        if n == 0:
+            assert r.token_entropy == 0.0
+            continue
+        cnt = Counter(toks)
+        want = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        assert abs(r.token_entropy - want) < 1e-9, (i, text)
+        assert abs(r.top_token_mass - max(cnt.values()) / n) < 1e-12
+        assert abs(r.distinct_token_frac - len(cnt) / n) < 1e-12
+
+
+def test_domain_blocklist_filter(spark):
+    from jschon_spark.operators import webtext
+
+    rows = [
+        (1, "https://news.bbc.co.uk/story"),        # domain bbc.co.uk
+        (2, "https://evil.example.org/"),           # host on list
+        (3, "https://sub.evil.example.org/x"),      # subdomain of listed host
+        (4, "https://fine.example.net/"),
+        (5, "not a url"),
+        (6, "https://www.evil.example.org/"),       # www. kept in host
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = ["bbc.co.uk", "evil.example.org"]
+    kept = {r.doc_id for r in
+            webtext.domain_blocklist_filter(df, blocked=blocked).collect()}
+    assert kept == {4, 5}  # unparseable rows are NOT blocked
+    audit = {r.doc_id: r.blocked for r in
+             webtext.domain_blocklist_filter(
+                 df, blocked=blocked, keep_blocked=True).collect()}
+    assert audit == {1: True, 2: True, 3: True, 4: False, 5: False, 6: True}
+    # empty list blocks nothing
+    assert len(webtext.domain_blocklist_filter(df, blocked=[]).collect()) == 6
