@@ -266,3 +266,34 @@ def test_url_features_differential(spark):
     got = {r.doc_id: (r.scheme, r.host, r.domain, r.url_canon, r.parse_ok)
            for r in webtext.url_features(df).collect()}
     assert got == exp
+
+
+def test_domain_blocklist_differential(spark):
+    """Blocklist verdicts vs the pure-Python url oracle: the hit rule
+    is domain-IN or host-IN or dotted-suffix-of-host, never firing on
+    unparseable urls."""
+    rng = random.Random(21)
+    suffixes = ["example.org", "bbc.co.uk", "github.io", "evil.example.org",
+                "s3.amazonaws.com", "localhost", "example.com.au"]
+    urls = []
+    for i in range(300):
+        if rng.random() < 0.12:
+            urls.append((i, rng.choice(["", "junk", "http//x"])))
+            continue
+        labels = ["www.", "sub.", "a.b.", ""][rng.randrange(4)]
+        urls.append((i, f"https://{labels}{rng.choice(suffixes)}/p{i}"))
+    blocked = ["bbc.co.uk", "evil.example.org", "bucket.s3.amazonaws.com"]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {r.doc_id: r.blocked for r in
+           webtext.domain_blocklist_filter(
+               df, blocked=blocked, keep_blocked=True).collect()}
+    bl = set(blocked)
+    exp = {}
+    for i, u in urls:
+        scheme, host, domain, _canon, ok = _py_url(u)
+        hit = bool(ok) and (
+            domain in bl or host in bl
+            or any(host.endswith("." + b) for b in bl)
+        )
+        exp[i] = hit
+    assert got == exp
