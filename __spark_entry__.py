@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_md5": Q.simhash_pairs_md5,
         "ngram_jaccard_docs": Q.ngram_jaccard_docs,
         "minhash_clusters_md5": Q.minhash_clusters_md5,
+        "ngram_span_docs": Q.ngram_span_docs,
         # similarity search (brute = recall oracle; LSH/IVF = scale paths)
         "knn_brute": Q.knn_brute,
         "knn_lsh": Q.knn_lsh,
@@ -316,6 +317,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JAC} AS jaccard
             FROM shg a JOIN shg b ON a.doc_id < b.doc_id
             WHERE {_JAC} >= 0.5
+        """,
+        "ngram_span_docs": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                         regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'), '\s+'),
+                         x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+                       i -> ('0x' || substr(md5(array_to_string(
+                              list_slice(toks, i, i + 4), ' ')), 1, 15))::BIGINT) AS gh
+              FROM base
+            ), per AS (
+              SELECT doc_id, h, count(*) AS k
+              FROM (SELECT doc_id, unnest(gh) AS h FROM g) GROUP BY doc_id, h
+            ), duph AS (
+              SELECT h FROM per GROUP BY h HAVING count(*) >= 2
+            ), nd AS (
+              SELECT per.doc_id, sum(per.k) AS n_dup
+              FROM per JOIN duph USING (h) GROUP BY per.doc_id
+            )
+            SELECT g.doc_id, CAST(len(g.gh) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_grams,
+                   CASE WHEN len(g.gh) > 0
+                        THEN CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / len(g.gh)
+                        ELSE 0.0 END AS dup_fraction
+            FROM g LEFT JOIN nd USING (doc_id)
         """,
         "emb_sim_pairs": """
             WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -592,3 +592,126 @@ def dedup_representatives(
     if broadcast_losers:
         losers = F.broadcast(losers)
     return docs.join(losers, docs[id_col] == F.col("__loser"), "left_anti")
+
+
+def positional_gram_hashes(toks: Column, window: int = 5) -> Column:
+    """ALL positional ``window``-token gram hashes of a token array —
+    duplicates KEPT (unlike :func:`shingles_from_tokens`): span
+    accounting needs one entry per position. Engine-portable 60-bit
+    md5 hashes (``md5_hash60``); ``[]`` when the doc is shorter than
+    the window.
+
+    Pass a MATERIALIZED token column (see ``shingles_from_tokens``'s
+    O(k^2) note — same HOF re-evaluation hazard applies)."""
+    k = F.size(toks) - (window - 1)
+    return F.when(k <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: md5_hash60(F.array_join(F.slice(toks, i, window), " ")),
+        )
+    )
+
+
+def ngram_span_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication signal: per document, the fraction
+    of its positional ``window``-token grams that also occur in at
+    least ``min_docs - 1`` OTHER documents (the "duplicated span"
+    measure behind suffix-array exact-substring dedup — Lee et al.
+    2022, *Deduplicating Training Data Makes Language Models Better* —
+    re-expressed as a distributed hash-join instead of a suffix array).
+
+    Reference parity note: the reference engine has no corpus-level
+    operator (jschon validates one instance at a time); this is part
+    of the LLM-pipeline family layered on the same tables.
+
+    100 TB shape — everything is LINEAR in corpus token count, only
+    8-byte hashes + ids ride the exchanges, and the plan is ONE
+    straight chain (the corpus is scanned and tokenized exactly once):
+
+    1. one scan builds per-doc positional gram hashes (evaluate-once
+       fences pin the token/gram arrays to one evaluation);
+    2. ``explode_outer`` -> ``groupBy(doc, hash)`` with map-side
+       combine collapses within-doc repeats BEFORE the first shuffle;
+    3. the cross-document occurrence count per hash is a WINDOW
+       ``count(*) over (partition by hash)`` — after step 2 each
+       (doc, hash) row is one document, so the partition count IS the
+       document count. A window, not an aggregate-and-rejoin: the
+       rejoin shape would branch the plan, and the evaluate-once fence
+       (non-deterministic by design) makes the branches non-reusable —
+       Catalyst would tokenize the corpus once per branch;
+    4. a doc-keyed rollup restores per-doc dup counts.
+
+    Zero-gram docs survive as a NULL hash from ``explode_outer``;
+    their window partition key is remapped to a per-doc NEGATIVE
+    surrogate (real hashes are 60-bit non-negative) so a 100 TB run
+    with billions of short docs doesn't funnel them into one window
+    partition. Hash-partition skew from a planet-hot gram is bounded:
+    step 2 already collapsed positions, so a partition holds one row
+    per CONTAINING DOC, counted without any wide frame sort state.
+
+    The 60-bit portable hash is what the DuckDB oracle replays; a
+    production run at 10^12 grams would pair two independent 60-bit
+    hashes to push collision odds back out (same md5 machinery).
+
+    Output: ``id_col, n_grams, n_dup_grams, dup_fraction`` — one row
+    per input document (short docs get ``n_grams = 0, fraction 0.0``).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    )
+    tk = base.select(
+        "id", fence(tokens(normalized(F.col("__t")))).alias("__tk")
+    )
+    g = tk.select(
+        "id",
+        fence(positional_gram_hashes(F.col("__tk"), window)).alias("__g"),
+    )
+    ex = g.select(
+        "id",
+        F.size("__g").alias("n_grams"),
+        F.explode_outer("__g").alias("h"),
+    )
+    per = ex.groupBy("id", "h").agg(
+        F.count(F.lit(1)).alias("k"), F.first("n_grams").alias("n_grams")
+    )
+    # NULL-hash rows (zero-gram docs) get a unique negative surrogate
+    # partition key; md5_hash60 is non-negative, so no collision with a
+    # real gram hash is possible (and even a surrogate-surrogate
+    # collision is harmless: the dup predicate requires h IS NOT NULL).
+    part_key = F.coalesce(
+        F.col("h"), -F.abs(F.xxhash64(F.col("id"))) - F.lit(1)
+    )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy(part_key))
+    dup = per.select(
+        "id",
+        "n_grams",
+        F.when(
+            F.col("h").isNotNull() & (n_docs >= min_docs), F.col("k")
+        ).otherwise(F.lit(0)).alias("__dup_k"),
+    )
+    return (
+        dup.groupBy("id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum("__dup_k").alias("__nd"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("__nd").cast("bigint").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

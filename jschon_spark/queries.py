@@ -376,6 +376,17 @@ def minhash_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs).select("id", "cluster_id")
 
 
+def ngram_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication fractions (Lee et al. 2022 signal):
+    per doc, the share of positional 5-grams occurring in >=2 docs.
+    Portable 60-bit md5 gram hashes; the DuckDB oracle replays the
+    whole tokenize/hash/count pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_span_duplicates(
+        docs, "doc_id", "text", window=5, min_docs=2
+    )
+
+
 # DOC_SCHEMA enriched with every annotation shape the reference's basic
 # output carries (output.py:46-70, annotation.py:19-73): string, object
 # default, examples array, contentMediaType, and an UNKNOWN keyword

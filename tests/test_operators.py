@@ -910,3 +910,48 @@ def test_domain_blocklist_filter(spark):
     assert audit == {1: True, 2: True, 3: True, 4: False, 5: False, 6: True}
     # empty list blocks nothing
     assert len(webtext.domain_blocklist_filter(df, blocked=[]).collect()) == 6
+
+
+def test_ngram_span_duplicates_hand_computed(spark):
+    # doc 1 and doc 2 share exactly one positional 5-gram ("a b c d e");
+    # doc 3 is shorter than the window; docs 4/5 are identical all-"z"
+    # texts whose three positional grams collapse to ONE hash that is
+    # duplicated ACROSS docs (k=3 positions each must all count);
+    # doc 6 repeats a gram within itself only -> NOT duplicated
+    # (min_docs counts documents, not positions); doc 7 is NULL.
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e x"),
+        (3, "q r s"),
+        (4, "z z z z z z z"),
+        (5, "z z z z z z z"),
+        (6, "m n o p q m n o p q"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dedup.ngram_span_duplicates(df, "doc_id", "text", window=5).collect()}
+    assert len(got) == 7
+    assert (got[1].n_grams, got[1].n_dup_grams) == (2, 1)
+    assert abs(got[1].dup_fraction - 0.5) < 1e-12
+    assert (got[2].n_grams, got[2].n_dup_grams) == (2, 1)
+    assert (got[3].n_grams, got[3].n_dup_grams, got[3].dup_fraction) == (0, 0, 0.0)
+    assert (got[4].n_grams, got[4].n_dup_grams, got[4].dup_fraction) == (3, 3, 1.0)
+    assert (got[5].n_grams, got[5].n_dup_grams, got[5].dup_fraction) == (3, 3, 1.0)
+    # "m n o p q" occurs at positions 1 and 6, but only within doc 6
+    assert (got[6].n_grams, got[6].n_dup_grams) == (6, 0)
+    assert (got[7].n_grams, got[7].n_dup_grams, got[7].dup_fraction) == (0, 0, 0.0)
+
+
+def test_ngram_span_duplicates_min_docs(spark):
+    # the shared gram spans 3 docs; min_docs=4 must clear everything
+    rows = [(i, "a b c d e") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got3 = {r.doc_id: r.n_dup_grams for r in
+            dedup.ngram_span_duplicates(df, "doc_id", "text", window=5,
+                                        min_docs=3).collect()}
+    assert got3 == {0: 1, 1: 1, 2: 1}
+    got4 = {r.doc_id: r.n_dup_grams for r in
+            dedup.ngram_span_duplicates(df, "doc_id", "text", window=5,
+                                        min_docs=4).collect()}
+    assert got4 == {0: 0, 1: 0, 2: 0}

@@ -537,3 +537,31 @@ def test_sessionize_single_exchange_on_user(spark):
     plan = plan_of(sessions.sessionize(ev), "simple")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "user_id" in plan.split("Exchange hashpartitioning")[1][:80]
+
+
+def test_ngram_span_single_scan_linear_chain(spark, tmp_path):
+    """ngram_span_duplicates must be ONE straight chain: the corpus is
+    scanned and tokenized exactly once (the fence is non-deterministic,
+    so a branch-and-rejoin shape would re-tokenize per branch), with
+    exactly the three exchanges the semantics require — (doc, hash)
+    pair agg, the window on the hash, the doc rollup — and no Python
+    stage."""
+    from jschon_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "),
+                 (F.col("id") % 9).cast("string")).alias("text"),
+    ).write.parquet(path)
+    out = dedup.ngram_span_duplicates(spark.read.parquet(path))
+    plan = plan_of(out, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert plan.count("Window") == 1, plan
+    # tokenization happens once: exactly two fenced projections
+    # (token array + gram array), each mentioning `split` once
+    assert plan.count("split(regexp_replace") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # map-side combine on both aggregations
+    assert plan.count("HashAggregate") >= 4, plan
