@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": Q.knn_ivf,
         "emb_sim_pairs": Q.emb_sim_pairs,
         "emb_near_dup_lsh": Q.emb_near_dup_lsh,
+        "semantic_dedup_emb": Q.semantic_dedup_emb,
         # dynamic-JSON validation (Arrow batch evaluator on a real column)
         "props_json_verdicts": Q.props_json_verdicts,
         "props_json_violations": Q.props_json_violations,
@@ -540,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         "format_conformance": _format_conformance_oracle(),
         "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),
         "knn_ivf": _knn_ivf_oracle(),
+        "semantic_dedup_emb": _semantic_dedup_oracle(),
         # §2.4 annotation payloads: hand-authored (keyword, path, JSON
         # value) rows cross-joined onto every VALID document — the
         # assertion set of ANNOTATED_DOC_SCHEMA equals DOC_SCHEMA's, so
@@ -1519,6 +1521,64 @@ def _emb_near_dup_lsh_oracle(
                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
         FROM cand c JOIN s a ON a.vec_id = c.id_a JOIN s b ON b.vec_id = c.id_b
         WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {min_cos}
+    """
+
+
+def _semantic_dedup_oracle(
+    n_lists: int = 16, dim: int = 64, threshold: float = 0.4
+) -> str:
+    """Replays similarity.semantic_dedup end to end: literal seeded
+    centroids, argmax-COSINE assignment (ties -> lowest list id),
+    intra-cluster cosine pairs, recursive min-label reach, and the
+    keep-least-centroid-similar representative window."""
+    from jschon_spark.operators.similarity import seeded_centroids
+
+    cents = seeded_centroids(dim, n_lists, seed=7)
+    values = ", ".join(
+        f"({li}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for li, c in enumerate(cents)
+    )
+    cos = (
+        "list_dot_product({x}, {y}) / (sqrt(list_dot_product({x}, {x}))"
+        " * sqrt(list_dot_product({y}, {y})))"
+    )
+    return f"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent AS (SELECT * FROM (VALUES {values}) AS t(li, c)),
+        ac AS (
+          SELECT e.vec_id, e.v, cent.li,
+                 {cos.format(x='e.v', y='cent.c')} AS cs
+          FROM e CROSS JOIN cent
+        ),
+        a AS (
+          SELECT vec_id, v, li AS list, cs FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, li) AS rn
+            FROM ac) WHERE rn = 1
+        ),
+        p AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM a x JOIN a y ON x.list = y.list AND x.vec_id < y.vec_id
+          WHERE {cos.format(x='x.v', y='y.v')} >= {threshold!r}
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+        reach AS (
+          SELECT a AS id, a AS r FROM edges
+          UNION
+          SELECT reach.id, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a
+        ),
+        grp AS (SELECT id, min(r) AS g FROM reach GROUP BY id),
+        rep AS (
+          SELECT a.vec_id, grp.g,
+                 row_number() OVER (PARTITION BY grp.g
+                                    ORDER BY a.cs ASC, a.vec_id) = 1 AS keep
+          FROM a JOIN grp ON a.vec_id = grp.id
+        )
+        SELECT a.vec_id, CAST(a.list AS INT) AS list_id,
+               CAST(rep.g AS BIGINT) AS group_id,
+               COALESCE(rep.keep, TRUE) AS keep
+        FROM a LEFT JOIN rep ON a.vec_id = rep.vec_id
     """
 
 

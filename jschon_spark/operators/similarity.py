@@ -529,3 +529,126 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= min_cos)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_cluster_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, *SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication*): cluster embeddings,
+    call intra-cluster pairs above a cosine threshold semantic
+    duplicates, and keep ONE representative per duplicate group — the
+    member LEAST similar to its cluster centroid (the paper's rule:
+    the extreme point is the most informative exemplar).
+
+    Reference parity note: the reference engine validates one JSON
+    instance at a time and has no corpus operator; this belongs to the
+    LLM-pipeline family layered on the same tables.
+
+    100 TB shape:
+
+    - centroids are the seeded deterministic quantizer
+      (:func:`seeded_centroids`) — data-independent, replayable by the
+      DuckDB oracle as literals, assignment fully JVM-side on the
+      scan. Assignment is argmax COSINE (spherical k-means style, ties
+      -> lowest list id), not :func:`assign_list`'s argmin L2: random
+      Gaussian centroids have norm ~sqrt(dim), so L2-nearest collapses
+      ~95% of unit-scale embeddings onto the smallest-norm centroid
+      (measured on the test corpus: 472/500 in one list) — fatal when
+      the intra-cluster step is quadratic; cosine assignment is
+      scale-invariant and spreads by direction. Production would raise
+      ``n_lists`` so clusters stay small (the paper uses 50k clusters
+      for 5B embeddings, ~100k rows/cluster);
+    - ONE corpus exchange keyed by the cluster id feeds both sides of
+      the intra-cluster self-join (deterministic plan -> Catalyst
+      reuses the exchange) — vectors ride a shuffle exactly once;
+    - the representative window runs over the MEMBERS-ONLY relation
+      (ids in some duplicate group), never the corpus: a corpus-wide
+      window would put every non-duplicate into one NULL-group
+      partition — the single-task skew class this codebase's plan
+      audits exist to forbid. Centroid cosines (16 HOF dot products)
+      are likewise computed only for members;
+    - intra-cluster verify is quadratic IN THE CLUSTER, which is the
+      algorithm's contract; ``max_cluster_size`` is the hot-cluster
+      guard (same defense as minhash/LSH bucket caps): clusters above
+      the cap contribute no pairs beyond their first ``cap`` members
+      in id order (deterministic, oracle-replayable; excess members
+      become keep=true singletons — bounded recall loss, and exact
+      dedup should run first so identical payloads never arrive here);
+    - connected components reuse :func:`dedup.duplicate_clusters`
+      (pointer doubling, O(log diameter) rounds over (id,label) pairs).
+
+    Output: one row per input vector —
+    ``id_col, list_id:int, group_id (smallest reachable id; NULL for
+    non-duplicates), keep:boolean``.
+    """
+    from jschon_spark.operators import dedup as _dedup
+
+    centroids = seeded_centroids(dim, n_lists, seed)
+
+    def _ccos_array(vec: Column) -> Column:
+        return F.array(
+            *[cosine(vec, F.lit([float(x) for x in c])) for c in centroids]
+        )
+
+    def _assign_cos(vec: Column) -> Column:
+        cs = _ccos_array(vec)
+        return (F.array_position(cs, F.array_max(cs)) - 1).cast("int")
+
+    asn = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        _assign_cos(F.col(vec_col)).alias("__list"),
+    )
+    part = asn
+    if max_cluster_size is not None:
+        rk = F.row_number().over(Window.partitionBy("__list").orderBy("id"))
+        part = asn.withColumn("__rk", rk).filter(
+            F.col("__rk") <= max_cluster_size
+        ).drop("__rk")
+    l = part.select(
+        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__list"
+    )
+    r = part.select(
+        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__list"
+    )
+    pairs = (
+        l.join(r, "__list")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+    groups = _dedup.duplicate_clusters(pairs)
+    # centroid cosine only for duplicate-group MEMBERS (AQE broadcasts
+    # the small side; no forced hint — member count is data-dependent)
+    members = (
+        asn.join(groups.select("id", F.col("cluster_id").alias("__g")), "id")
+        .select(
+            "id", "__g",
+            F.element_at(
+                _ccos_array(F.col("__v")), F.col("__list") + F.lit(1)
+            ).alias("__ccos"),
+        )
+    )
+    keep_rank = F.row_number().over(
+        Window.partitionBy("__g").orderBy(F.asc("__ccos"), F.asc("id"))
+    )
+    reps = members.select(
+        "id", "__g", (keep_rank == 1).alias("__keep")
+    )
+    return (
+        asn.join(reps, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__list").cast("int").alias("list_id"),
+            F.col("__g").cast("bigint").alias("group_id"),
+            F.coalesce(F.col("__keep"), F.lit(True)).alias("keep"),
+        )
+    )

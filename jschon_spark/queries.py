@@ -338,6 +338,18 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) verdicts: seeded-centroid cosine
+    clustering, intra-cluster cosine >= 0.4 pairs, connected
+    components, keep = member least similar to its centroid. The
+    DuckDB oracle replays centroids, assignment, pairs, the recursive
+    reach, and the keep window."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, dim=64, threshold=0.4, n_lists=16, seed=7
+    )
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k over seeded deterministic centroids (third ANN path,
     oracle-replayable; the k-means variant ivf_topk is pytest-covered)."""

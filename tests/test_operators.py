@@ -955,3 +955,64 @@ def test_ngram_span_duplicates_min_docs(spark):
             dedup.ngram_span_duplicates(df, "doc_id", "text", window=5,
                                         min_docs=4).collect()}
     assert got4 == {0: 0, 1: 0, 2: 0}
+
+
+def test_semantic_dedup_hand_computed(spark):
+    from jschon_spark.operators import similarity
+
+    # ids 10/11 are bit-identical vectors => identical centroid
+    # cosine, so the keep tie-break falls to the LOWEST id (also the
+    # min-label group id). id 12 shares the direction at 3x scale:
+    # cosine assignment and pair cosine are scale-invariant, so it
+    # joins the same list and group — but FP rounding makes its
+    # centroid cosine differ in the last ulp, so which member keeps is
+    # only pinned for the exact-tie pair when 12 is excluded by the
+    # threshold... it is NOT (cos = 1.0), so assert group membership
+    # for all three and keep-count discipline instead of keep identity.
+    base = [1.0, 0.5, -0.25, 2.0]
+    rows = [
+        (10, [x * 1.0 for x in base]),
+        (11, [x * 1.0 for x in base]),
+        (12, [x * 3.0 for x in base]),
+        (99, [-2.0, 4.0, 8.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           similarity.semantic_dedup(df, dim=4, threshold=0.99).collect()}
+    assert len(out) == 4
+    assert out[10].list_id == out[11].list_id == out[12].list_id
+    assert {out[i].group_id for i in (10, 11, 12)} == {10}
+    assert sum(out[i].keep for i in (10, 11, 12)) == 1
+    # the exact-tie pair orders by id: 11 can never win over 10
+    assert not (out[11].keep and not out[10].keep)
+    assert out[99].group_id is None and out[99].keep is True
+
+
+def test_semantic_dedup_same_cluster_only(spark):
+    from jschon_spark.operators import similarity
+
+    # SemDeDup's contract: pairs are only sought WITHIN a cluster.
+    # Opposite directions always land in different argmax-cosine lists,
+    # so even threshold=-1 (every intra-cluster pair "matches") cannot
+    # group them.
+    rows = [(1, [1.0, 0.0]), (2, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           similarity.semantic_dedup(df, dim=2, threshold=-1.0).collect()}
+    assert out[1].list_id != out[2].list_id
+    assert out[1].group_id is None and out[2].group_id is None
+
+
+def test_semantic_dedup_cluster_cap(spark):
+    from jschon_spark.operators import similarity
+
+    # 6 identical vectors, cap=3: only the first 3 ids participate in
+    # pair generation, the rest become keep=true singletons.
+    rows = [(i, [1.0, 1.0, 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           similarity.semantic_dedup(df, dim=3, threshold=0.9,
+                                     max_cluster_size=3).collect()}
+    assert {i for i in out if out[i].group_id is not None} == {0, 1, 2}
+    assert [out[i].keep for i in range(3)] == [True, False, False]
+    assert all(out[i].keep for i in (3, 4, 5))

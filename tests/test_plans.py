@@ -565,3 +565,30 @@ def test_ngram_span_single_scan_linear_chain(spark, tmp_path):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     # map-side combine on both aggregations
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_semantic_dedup_plan_shape(spark, tmp_path):
+    """semantic_dedup: the representative window must run over the
+    members-only relation (a corpus-wide window would put every
+    non-duplicate into one NULL-group partition); no Python stage; the
+    small reps/groups joins convert to broadcast at runtime under AQE."""
+    from jschon_spark.operators import similarity
+
+    path = str(tmp_path / "emb")
+    spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 7 + i).cast("double") for i in range(8)]
+                ).alias("embedding"),
+    ).write.parquet(path)
+    out = similarity.semantic_dedup(
+        spark.read.parquet(path), dim=8, threshold=0.999, n_lists=4
+    )
+    plan = plan_of(out, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # exactly ONE window — the keep rank over __g on the members side
+    assert plan.count("Window") == 1, plan
+    assert "__g" in plan.split("Window")[1][:200], plan
+    out.collect()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed, executed
+    assert "EvalPython" not in executed, executed
