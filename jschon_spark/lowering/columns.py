@@ -57,6 +57,27 @@ class CannotLower(Exception):
     """Schema feature outside the Column-expression subset."""
 
 
+# Regex constructs whose JAVA (rlike) reading diverges from Python
+# `re` (the reference semantics, jschon/vocabulary/validation.py:
+# 132-142): named groups / lookbehind syntax, \A/\Z anchors, AND the
+# perl classes \w \W \d \D \s \S \b \B — Java reads those ASCII-only
+# while Python reads them unicode-wide (measured: rlike '^\\w+$'
+# rejects 'héllo', '^\\d+$' rejects arabic-indic digits, '\\s'
+# misses U+00A0; round 6). Patterns using any of them route to the
+# batch evaluator, whose Python `re` IS the reference dialect. The
+# scan deliberately over-matches a literal '\\\\d' (escaped
+# backslash + d) — a false positive only costs the fast path.
+JAVA_INCOMPATIBLE = re.compile(r"\(\?P[<=!]|\\Z|\\A|\(\?<|\\[wWdDsSbB]")
+
+
+def check_regex_dialect(pattern: str) -> None:
+    """rlike is Java regex; refuse patterns whose dialect diverges
+    from Python `re` (shared by the typed and variant lowerings)."""
+    if JAVA_INCOMPATIBLE.search(pattern):
+        raise CannotLower(f"regex dialect risk in pattern {pattern!r} -> batch")
+    re.compile(pattern)  # must at least be a valid Python regex
+
+
 def dec18_exact(bound: float | int) -> bool:
     """True iff ``bound`` is exactly representable in decimal(38,18).
 
@@ -1160,32 +1181,30 @@ class ColumnLowerer:
             return F.date_format(col, "yyyy-MM-dd")
         return col
 
-    # Java regex constructs that differ from Python `re` enough to lie:
-    _JAVA_INCOMPATIBLE = re.compile(r"\(\?P[<=!]|\\Z|\\A|\(\?<")
+    _JAVA_INCOMPATIBLE = JAVA_INCOMPATIBLE  # back-compat alias
 
     def _check_regex_dialect(self, pattern: str) -> None:
-        """rlike is Java regex; refuse patterns whose dialect diverges
-        from Python `re` (the reference semantics,
-        /root/reference/jschon/vocabulary/validation.py:132-142)."""
-        if self._JAVA_INCOMPATIBLE.search(pattern):
-            raise CannotLower(f"regex dialect risk in pattern {pattern!r} -> batch")
-        re.compile(pattern)  # must at least be a valid Python regex
+        check_regex_dialect(pattern)
 
     _FORMAT_REGEX = {
         # RFC 3339 ranges (round 5) — sync with evaluator._TIME_RE /
         # _DATETIME_RE; date/date-time additionally get a calendar
         # conjunct in format_pred
+        # [0-9] not \d everywhere below: Java \d is ASCII but the batch
+        # evaluator's Python \d is unicode-wide — [0-9] is the one
+        # spelling both engines read identically (RFC grammars are
+        # ASCII DIGIT anyway); same for the email \s -> explicit set
         "date-time": (
-            r"^\d{4}-\d{2}-\d{2}[Tt]([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)"
-            r"(\.\d+)?([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+            r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[Tt]([01][0-9]|2[0-3]):[0-5][0-9]:"
+            r"([0-5][0-9]|60)(\.[0-9]+)?([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
         ),
-        "date": r"^\d{4}-\d{2}-\d{2}$",
+        "date": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
         "time": (
-            r"^([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
-            r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)$"
+            r"^([01][0-9]|2[0-3]):[0-5][0-9]:([0-5][0-9]|60)(\.[0-9]+)?"
+            r"([Zz]|[+-]([01][0-9]|2[0-3]):[0-5][0-9])$"
         ),
         "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
-        "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
+        "ipv4": r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$",
         # scheme lookahead + RFC 3986 character set (sync with the
         # evaluator's "uri" entry — raw spaces / bare % are invalid)
         "uri": (
@@ -1197,8 +1216,8 @@ class ColumnLowerer:
             r"^(?=.{1,253}$)([A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)*"
             r"[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?$"
         ),
-        "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
-        "duration": r"^P(?!$)(\d+Y)?(\d+M)?(\d+W)?(\d+D)?(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$",
+        "email": r"^[^@ \t\n\x0B\f\r]+@[^@ \t\n\x0B\f\r]+\.[^@ \t\n\x0B\f\r]+$",
+        "duration": r"^P(?!$)([0-9]+Y)?([0-9]+M)?([0-9]+W)?([0-9]+D)?(T(?=[0-9])([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?$",
         "relative-json-pointer": r"^(0|[1-9][0-9]*)(#|(/([^~/]|~[01])*)*)$",
         # round 5: remaining 2020-12 vocabulary names — the SAME source
         # strings the evaluator compiles (evaluator.py defines them

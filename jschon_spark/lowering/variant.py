@@ -52,6 +52,7 @@ from jschon_spark.lowering.columns import (
     _check,
     _concat,
     _violation,
+    check_regex_dialect,
     dec18_exact,
 )
 from jschon_spark.schema.catalog import SchemaCatalog, pointer_escape
@@ -473,8 +474,7 @@ class VariantLowerer:
                         f"shorter than {schema['minLength']}"))
         if "pattern" in schema:
             pat = schema["pattern"]
-            if re.search(r"\(\?P[<=!]|\\Z|\\A|\(\?<", pat):
-                raise CannotLower("regex dialect risk -> batch")
+            check_regex_dialect(pat)
             add(*_check(gated(strval.rlike(pat), is_str),
                         "pattern", ipath, kpath, strval,
                         f"does not match pattern {pat}"))
@@ -575,9 +575,7 @@ class VariantLowerer:
             pattern_cover: list[str] = []
             if "patternProperties" in schema:
                 for pat, sub in schema["patternProperties"].items():
-                    if re.search(r"\(\?P[<=!]|\\Z|\\A|\(\?<", pat):
-                        raise CannotLower("regex dialect risk -> batch")
-                    re.compile(pat)
+                    check_regex_dialect(pat)
                     if sub is True:
                         pattern_cover.append(pat)
                     elif sub is False:
