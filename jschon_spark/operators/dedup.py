@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from jschon_spark.operators import _cachereg, _partitions
 from jschon_spark.operators._hof import fence
@@ -466,6 +467,7 @@ def duplicate_clusters(
     id_b: str = "id_b",
     max_iter: int = 20,
     on_nonconverged: str = "raise",
+    small_graph_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-duplicate PAIRS: (id, cluster_id)
     with cluster_id = the smallest id reachable in the pair graph — the
@@ -488,6 +490,18 @@ def duplicate_clusters(
     result would be WRONG (partially propagated clusters), so by
     default it raises; ``on_nonconverged="warn"`` downgrades to a
     warning for callers that can tolerate over-segmented clusters.
+
+    SMALL-GRAPH FAST PATH: each distributed round costs several jobs
+    (two shuffle joins + a checkpoint + the convergence action) — ~2s
+    of fixed scheduling/compile overhead per round regardless of data
+    (measured: 5-6s for a 3-edge graph). When the pair graph has at
+    most ``small_graph_max_edges`` edges it is collected (a BOUNDED
+    collect — the gate caps it at ~1.6 MB of id pairs at the default)
+    and resolved with driver-side union-find, identical output
+    contract. The same optimization GraphFrames applies before its
+    big-graph algorithm. At crawl scale the pair graph exceeds the
+    gate and the pointer-doubling loop runs as before; set 0 to force
+    the distributed path (the nonconvergence tests do).
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError("on_nonconverged must be 'raise' or 'warn'")
@@ -496,6 +510,38 @@ def duplicate_clusters(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
     _cachereg.track("duplicate_clusters_edges", edges)
+
+    if small_graph_max_edges and (
+        edges.limit(2 * small_graph_max_edges + 1).count()
+        <= 2 * small_graph_max_edges
+    ):
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min keeps roots = smallest member, the
+                # distributed path's cluster_id contract
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(i, find(i)) for i in parent]
+        id_type = pairs.schema[id_a].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("id", id_type, True),
+                T.StructField("cluster_id", id_type, True),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(rows, out_schema)
 
     labels = (
         edges.select(F.col("a").alias("id")).distinct()

@@ -566,15 +566,18 @@ def semantic_dedup(
       scale-invariant and spreads by direction. Production would raise
       ``n_lists`` so clusters stay small (the paper uses 50k clusters
       for 5B embeddings, ~100k rows/cluster);
-    - ONE corpus exchange keyed by the cluster id feeds both sides of
-      the intra-cluster self-join (deterministic plan -> Catalyst
-      reuses the exchange) — vectors ride a shuffle exactly once;
+    - the assignment projection (argmax over ``n_lists`` HOF cosines —
+      an expression whose PLANNING + codegen cost dwarfs its runtime
+      at small n) is persisted and feeds the self-join, the members
+      join, and the final output from the cache, so it is compiled and
+      evaluated exactly once; vectors ride a shuffle exactly once (the
+      ``__list`` exchange under the intra-cluster self-join);
     - the representative window runs over the MEMBERS-ONLY relation
       (ids in some duplicate group), never the corpus: a corpus-wide
       window would put every non-duplicate into one NULL-group
       partition — the single-task skew class this codebase's plan
-      audits exist to forbid. Centroid cosines (16 HOF dot products)
-      are likewise computed only for members;
+      audits exist to forbid. The centroid cosine the keep rule orders
+      by is the argmax value itself, captured free at assignment;
     - intra-cluster verify is quadratic IN THE CLUSTER, which is the
       algorithm's contract; ``max_cluster_size`` is the hot-cluster
       guard (same defense as minhash/LSH bucket caps): clusters above
@@ -592,21 +595,37 @@ def semantic_dedup(
     from jschon_spark.operators import dedup as _dedup
 
     centroids = seeded_centroids(dim, n_lists, seed)
+    # centroid norms fold to Python literals, and the row's own norm
+    # appears once per centroid instead of via 16 l2_norm aggregates —
+    # this roughly halves the argmax expression tree (the planning +
+    # codegen cost of this operator dwarfs its runtime at small n)
+    cnorms = [math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids]
 
     def _ccos_array(vec: Column) -> Column:
+        nv = l2_norm(vec)
         return F.array(
-            *[cosine(vec, F.lit([float(x) for x in c])) for c in centroids]
+            *[
+                F.when(nv > 0, dot(vec, F.lit([float(x) for x in c])) / (nv * F.lit(nc)))
+                for c, nc in zip(centroids, cnorms)
+            ]
         )
 
-    def _assign_cos(vec: Column) -> Column:
-        cs = _ccos_array(vec)
-        return (F.array_position(cs, F.array_max(cs)) - 1).cast("int")
-
+    cs = _ccos_array(F.col(vec_col))
     asn = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
-        _assign_cos(F.col(vec_col)).alias("__list"),
+        (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("__list"),
+        # cosine to the ASSIGNED centroid == the argmax value — free
+        # here, where recomputing it later would rebuild the whole tree
+        F.array_max(cs).alias("__ccos"),
     )
+    # the monster projection feeds the self-join (both sides), the
+    # members join, and the final output: persist so it is planned,
+    # compiled, and evaluated ONCE (same tradeoff as
+    # embedding_near_duplicates' base — (id, vec, int, double) rows,
+    # MEMORY_AND_DISK spill at scale)
+    asn = asn.persist()
+    _cachereg.track("semantic_dedup", asn)
     part = asn
     if max_cluster_size is not None:
         rk = F.row_number().over(Window.partitionBy("__list").orderBy("id"))
@@ -626,17 +645,12 @@ def semantic_dedup(
         .select("id_a", "id_b")
     )
     groups = _dedup.duplicate_clusters(pairs)
-    # centroid cosine only for duplicate-group MEMBERS (AQE broadcasts
-    # the small side; no forced hint — member count is data-dependent)
-    members = (
-        asn.join(groups.select("id", F.col("cluster_id").alias("__g")), "id")
-        .select(
-            "id", "__g",
-            F.element_at(
-                _ccos_array(F.col("__v")), F.col("__list") + F.lit(1)
-            ).alias("__ccos"),
-        )
-    )
+    # representative window over duplicate-group MEMBERS only (AQE
+    # broadcasts the small side; no forced hint — member count is
+    # data-dependent)
+    members = asn.join(
+        groups.select("id", F.col("cluster_id").alias("__g")), "id"
+    ).select("id", "__g", "__ccos")
     keep_rank = F.row_number().over(
         Window.partitionBy("__g").orderBy(F.asc("__ccos"), F.asc("id"))
     )

@@ -416,8 +416,13 @@ def test_duplicate_clusters_deep_chain_pointer_doubling(spark):
         [(i, i + 1) for i in range(119)], "id_a long, id_b long"
     )
     got = {(r.id, r.cluster_id)
-           for r in dedup.duplicate_clusters(pairs, max_iter=10).collect()}
+           for r in dedup.duplicate_clusters(
+               pairs, max_iter=10, small_graph_max_edges=0).collect()}
     assert got == {(i, 0) for i in range(120)}
+    # the small-graph union-find path must produce the identical labels
+    fast = {(r.id, r.cluster_id)
+            for r in dedup.duplicate_clusters(pairs).collect()}
+    assert fast == got
 
 
 def test_duplicate_clusters_nonconvergence_raises_or_warns(spark):
@@ -429,9 +434,11 @@ def test_duplicate_clusters_nonconvergence_raises_or_warns(spark):
         [(i, i + 1) for i in range(30)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.duplicate_clusters(pairs, max_iter=1)
+        dedup.duplicate_clusters(pairs, max_iter=1, small_graph_max_edges=0)
     with _pytest.warns(RuntimeWarning, match="did not converge"):
-        out = dedup.duplicate_clusters(pairs, max_iter=1, on_nonconverged="warn")
+        out = dedup.duplicate_clusters(pairs, max_iter=1,
+                                       on_nonconverged="warn",
+                                       small_graph_max_edges=0)
     assert out.count() == 31  # over-segmented but present
 
 
