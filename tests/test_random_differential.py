@@ -30,10 +30,15 @@ from jschon_spark.lowering.columns import CannotLower
 from jschon_spark.lowering.variant import validate_json_column_variant
 from jschon_spark.schema.catalog import SchemaCatalog
 
-# rlike (Java) and re (Python) agree on this subset for the generated
-# documents (ASCII + é, no newlines): keep the generator inside it
-_PATTERNS = ["^a", "b$", "^[a-z]+$", "[0-9]", "x", "^$", "a.c", "^é"]
-_STRINGS = ["", "a", "ab", "abc", "xyz", "aXc", "é", "b", "axc", "123"]
+# Round 6 widened the pools past the Java/Python-agreeing subset:
+# perl-class patterns (\w \d \s ...) are unicode-wide in Python but
+# ASCII in Java, so the lowerings must ROUTE them to the batch
+# evaluator — these fuzz populations now exercise that routing against
+# unicode instances (NBSP, arabic-indic digits, accented words).
+_PATTERNS = ["^a", "b$", "^[a-z]+$", "[0-9]", "x", "^$", "a.c", "^é",
+             r"^\w+$", r"\d", r"\s", r"^\S+$", r"é\b"]
+_STRINGS = ["", "a", "ab", "abc", "xyz", "aXc", "é", "b", "axc", "123",
+            "héllo", "٣٤", "x y", "a b", "١٢٣"]
 _NUMBERS = [
     0, 1, -1, 5, 10, 2 ** 53 + 1, 10 ** 18 - 1, -(10 ** 18) - 1,
     0.5, 19.99, -0.25, 1e-20, 2e-20, 1e18, 1.0, 2.5, 100.0,
