@@ -20,6 +20,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from jschon_spark.operators import _cachereg
 
@@ -540,6 +541,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 7,
     max_cluster_size: int | None = 10_000,
+    assign_arrow: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, *SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication*): cluster embeddings,
@@ -610,15 +612,79 @@ def semantic_dedup(
             ]
         )
 
-    cs = _ccos_array(F.col(vec_col))
-    asn = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("__v"),
-        (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("__list"),
-        # cosine to the ASSIGNED centroid == the argmax value — free
-        # here, where recomputing it later would rebuild the whole tree
-        F.array_max(cs).alias("__ccos"),
-    )
+    # assignment path: interpreted HOF cosines are fine for a handful
+    # of centroids, but at production cluster counts (the paper: 50k
+    # lists) the argmax is n_lists x dim interpreted ops per row —
+    # there an Arrow-batched numpy matmul (one BLAS GEMM per batch) is
+    # the idiomatic fast path. Auto-switch at n_lists*dim >= 4096; the
+    # ORACLE-PINNED configuration (16 x 64 = 1024) stays on the
+    # Column path, so DuckDB replays exactly what runs. The two paths
+    # may differ in the last ulp on near-exact centroid ties (fold
+    # order vs pairwise BLAS summation) — argmax tie-break is
+    # first-max in both.
+    if assign_arrow is None:
+        assign_arrow = n_lists * dim >= 4096
+    if assign_arrow:
+        import numpy as np
+        import pandas as pd
+
+        cmat = np.asarray(centroids, dtype=np.float64)
+        cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        out_schema = T.StructType(
+            [
+                T.StructField("id", corpus.schema[id_col].dataType, True),
+                T.StructField("__v", corpus.schema[vec_col].dataType, True),
+                T.StructField("__list", T.IntegerType(), True),
+                T.StructField("__ccos", T.DoubleType(), True),
+            ]
+        )
+
+        def _assign_batches(batches):
+            for pdf in batches:
+                v = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+                if len(v) == 0:
+                    yield pd.DataFrame(
+                        {"id": pdf["id"], "__v": pdf["__v"],
+                         "__list": [], "__ccos": []}
+                    )
+                    continue
+                nv = np.linalg.norm(v, axis=1)
+                ok = nv > 0
+                cs_m = np.zeros((len(v), len(cmat)))
+                cs_m[ok] = (v[ok] @ cmat.T) / nv[ok, None]
+                li = cs_m.argmax(axis=1)
+                mx = cs_m[np.arange(len(v)), li]
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "__v": pdf["__v"],
+                        "__list": np.where(ok, li, -1).astype("int32"),
+                        "__ccos": mx,
+                    }
+                )
+
+        asn = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+        ).mapInPandas(_assign_batches, out_schema)
+        # zero vectors: list -1 never collides with a real list and
+        # their pair cosines are NULL on the Column path anyway; strip
+        # them from grouping by nulling (matches the expr path's NULLs)
+        asn = asn.select(
+            "id", "__v",
+            F.when(F.col("__list") >= 0, F.col("__list")).alias("__list"),
+            F.when(F.col("__list") >= 0, F.col("__ccos")).alias("__ccos"),
+        )
+    else:
+        cs = _ccos_array(F.col(vec_col))
+        asn = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("__list"),
+            # cosine to the ASSIGNED centroid == the argmax value —
+            # free here, where recomputing it later would rebuild the
+            # whole tree
+            F.array_max(cs).alias("__ccos"),
+        )
     # the monster projection feeds the self-join (both sides), the
     # members join, and the final output: persist so it is planned,
     # compiled, and evaluated ONCE (same tradeoff as

@@ -1023,3 +1023,30 @@ def test_semantic_dedup_cluster_cap(spark):
     assert {i for i in out if out[i].group_id is not None} == {0, 1, 2}
     assert [out[i].keep for i in range(3)] == [True, False, False]
     assert all(out[i].keep for i in (3, 4, 5))
+
+
+def test_semantic_dedup_arrow_assignment_agrees(spark):
+    """The Arrow/numpy assignment fast path (auto at n_lists*dim >=
+    4096) must produce the identical verdicts to the Column path on
+    well-separated vectors (ties differ only in the last ulp; random
+    uniform vectors never tie)."""
+    from jschon_spark.operators import similarity
+
+    df = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: F.sin(F.col("id") * i * 0.31 + i)).alias("embedding"),
+    )
+    kw = dict(dim=8, threshold=0.98, n_lists=8)
+    expr_out = {r.vec_id: (r.list_id, r.group_id, r.keep) for r in
+                similarity.semantic_dedup(df, assign_arrow=False, **kw).collect()}
+    arrow_out = {r.vec_id: (r.list_id, r.group_id, r.keep) for r in
+                 similarity.semantic_dedup(df, assign_arrow=True, **kw).collect()}
+    assert expr_out == arrow_out
+    # zero vector: NULL list, no group, kept — on both paths
+    z = spark.createDataFrame([(1, [0.0, 0.0]), (2, [1.0, 2.0])],
+                              "vec_id long, embedding array<double>")
+    for arrow in (False, True):
+        got = {r.vec_id: r for r in similarity.semantic_dedup(
+            z, dim=2, threshold=0.5, n_lists=4, assign_arrow=arrow).collect()}
+        assert got[1].list_id is None and got[1].group_id is None and got[1].keep
