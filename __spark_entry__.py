@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sim_pairs": Q.emb_sim_pairs,
         "emb_near_dup_lsh": Q.emb_near_dup_lsh,
         "semantic_dedup_emb": Q.semantic_dedup_emb,
+        "incremental_dedup_docs": Q.incremental_dedup_docs,
         # dynamic-JSON validation (Arrow batch evaluator on a real column)
         "props_json_verdicts": Q.props_json_verdicts,
         "props_json_violations": Q.props_json_violations,
@@ -542,6 +543,24 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),
         "knn_ivf": _knn_ivf_oracle(),
         "semantic_dedup_emb": _semantic_dedup_oracle(),
+        "incremental_dedup_docs": r"""
+            WITH nb AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+            ), n AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+              FROM nb
+            ), hd AS (
+              SELECT DISTINCT
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+              FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT n.doc_id, (hd.h IS NOT NULL) AS is_exact_dup
+            FROM n LEFT JOIN hd ON n.h = hd.h
+        """,
         # §2.4 annotation payloads: hand-authored (keyword, path, JSON
         # value) rows cross-joined onto every VALID document — the
         # assertion set of ANNOTATED_DOC_SCHEMA equals DOC_SCHEMA's, so

@@ -761,3 +761,101 @@ def ngram_span_duplicates(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_simhash_max_hamming: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL ingestion dedup: mark each incoming document that
+    already exists in a reference corpus (the daily-crawl-vs-history
+    shape — at 100 TB you never re-deduplicate the whole corpus, you
+    dedup the new batch against it).
+
+    Reference parity note: the reference validates one instance at a
+    time (no corpus ops); LLM-pipeline family.
+
+    100 TB shape:
+
+    - EXACT: both sides reduce to 16-byte md5 keys of the
+      whitespace-normalized text BEFORE any join; the history side is
+      a single scan + map-side-combined distinct of hashes; the join
+      is hash-keyed (AQE broadcasts the smaller side — usually the
+      daily batch's distinct hashes, NOT the history). The history's
+      documents never move; only hashes ride the exchange.
+    - optional NEAR (``near_simhash_max_hamming``): 64-bit simhash
+      fingerprints on both sides, banded into 4x16-bit pigeonhole
+      keys (Hamming <= 3 guarantees one exact band match), bucket
+      join + exact bit_count verify — same economics, 8-byte keys.
+
+    Output: ``new_docs`` columns + ``is_exact_dup`` (+
+    ``is_near_dup`` when the near pass is on). Ingestion keeps rows
+    where both flags are false.
+    """
+    nh = new_docs.select(
+        F.col(id_col).alias("__nid"),
+        F.md5(normalized(F.col(text_col))).alias("__h"),
+    )
+    ch = (
+        corpus.select(F.md5(normalized(F.col(text_col))).alias("__h"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    flags = nh.join(ch, "__h", "left").select(
+        "__nid", F.coalesce(F.col("__hit"), F.lit(False)).alias("is_exact_dup")
+    )
+    out = new_docs.join(
+        flags, new_docs[id_col] == F.col("__nid"), "left"
+    ).drop("__nid")
+    if near_simhash_max_hamming is None:
+        return out
+    k = near_simhash_max_hamming
+    bands = 4
+    nfp = with_simhash(
+        new_docs.select(F.col(id_col).alias("__nid2"), F.col(text_col)),
+        text_col, out_col="__fp",
+    ).select("__nid2", "__fp")
+    cfp = (
+        with_simhash(corpus.select(F.col(text_col)), text_col, out_col="__cfp")
+        .select("__cfp")
+        .distinct()
+    )
+
+    def banded(fp: Column, b: int) -> Column:
+        return F.shiftrightunsigned(fp, b * 16).bitwiseAND(F.lit(0xFFFF))
+
+    n_ex = nfp.select(
+        "__nid2", "__fp",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("b"), banded(F.col("__fp"), b).alias("k"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("__nid2", "__fp", F.col("bk.b").alias("__b"), F.col("bk.k").alias("__k"))
+    c_ex = cfp.select(
+        "__cfp",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("b"), banded(F.col("__cfp"), b).alias("k"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("__cfp", F.col("bk.b").alias("__b"), F.col("bk.k").alias("__k"))
+    near = (
+        n_ex.join(c_ex, ["__b", "__k"])
+        .filter(
+            F.bit_count(F.col("__fp").bitwiseXOR(F.col("__cfp"))) <= k
+        )
+        .select(F.col("__nid2"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    return out.join(
+        near, out[id_col] == F.col("__nid2"), "left"
+    ).drop("__nid2").withColumn(
+        "is_near_dup", F.coalesce(F.col("is_near_dup"), F.lit(False))
+    )

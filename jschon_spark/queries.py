@@ -338,6 +338,31 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: odd doc_ids are the incoming batch,
+    even doc_ids the history; each incoming doc is flagged when its
+    normalized text already exists in history. The 100 TB shape: both
+    sides reduce to 16-byte hashes before the join, history documents
+    never move. DuckDB replays the hash + anti-semantics exactly."""
+    docs = load(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    # the incoming batch: the odd docs (novel) + a re-ingested slice of
+    # history under new ids (planted true duplicates, so the oracle
+    # verifies BOTH flag values)
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(
+            hist.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dedup.dedup_against_corpus(new, hist).select(
+        "doc_id", "is_exact_dup"
+    )
+
+
 def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) verdicts: seeded-centroid cosine
     clustering, intra-cluster cosine >= 0.4 pairs, connected

@@ -1050,3 +1050,27 @@ def test_semantic_dedup_arrow_assignment_agrees(spark):
         got = {r.vec_id: r for r in similarity.semantic_dedup(
             z, dim=2, threshold=0.5, n_lists=4, assign_arrow=arrow).collect()}
         assert got[1].list_id is None and got[1].group_id is None and got[1].keep
+
+
+def test_dedup_against_corpus_flags(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "some existing document about spark and schemas")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "The quick  brown fox jumps over the lazy dog today"),  # exact after norm
+         (11, "the quick brown fox jumps over the lazy dog tomorrow"),  # near only
+         (12, "entirely novel content nothing shared with history at all"),
+         (13, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.is_exact_dup, r.is_near_dup) for r in
+           dedup.dedup_against_corpus(new, corpus,
+                                      near_simhash_max_hamming=6).collect()}
+    assert got == {10: (True, True), 11: (False, True),
+                   12: (False, False), 13: (False, False)}
+    exact_only = {r.doc_id: r.is_exact_dup for r in
+                  dedup.dedup_against_corpus(new, corpus).collect()}
+    assert exact_only == {10: True, 11: False, 12: False, 13: False}
+    # original batch columns survive
+    cols = dedup.dedup_against_corpus(new, corpus).columns
+    assert cols == ["doc_id", "text", "is_exact_dup"]

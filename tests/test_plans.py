@@ -592,3 +592,28 @@ def test_semantic_dedup_plan_shape(spark, tmp_path):
     executed = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in executed, executed
     assert "EvalPython" not in executed, executed
+
+
+def test_incremental_dedup_only_hashes_shuffle(spark, tmp_path):
+    """dedup_against_corpus (exact path): both sides reduce to md5
+    hashes BEFORE any exchange — history documents never move. Every
+    hash-partitioned exchange in the plan is keyed on the 32-char hash
+    or the batch id; the text column crosses no exchange."""
+    from jschon_spark.operators import dedup
+
+    path = str(tmp_path / "docs")
+    spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("document body number "),
+                 (F.col("id") % 500).cast("string")).alias("text"),
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = dedup.dedup_against_corpus(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    ).select("doc_id", "is_exact_dup")
+    plan = plan_of(out, "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
