@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": Q.emb_near_dup_lsh,
         "semantic_dedup_emb": Q.semantic_dedup_emb,
         "incremental_dedup_docs": Q.incremental_dedup_docs,
+        "nfc_docs": Q.nfc_docs,
         # dynamic-JSON validation (Arrow batch evaluator on a real column)
         "props_json_verdicts": Q.props_json_verdicts,
         "props_json_violations": Q.props_json_violations,
@@ -543,6 +544,12 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_lsh": _emb_near_dup_lsh_oracle(),
         "knn_ivf": _knn_ivf_oracle(),
         "semantic_dedup_emb": _semantic_dedup_oracle(),
+        "nfc_docs": r"""
+            SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5,
+                   CAST(length(nfc_normalize(text)) AS INT) AS n_chars_nfc,
+                   (nfc_normalize(text) <> text) AS nfc_changed
+            FROM documents
+        """,
         "incremental_dedup_docs": r"""
             WITH nb AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

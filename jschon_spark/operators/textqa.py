@@ -7,6 +7,8 @@ side, whole-stage codegen) — no Python in the per-row path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -258,4 +260,40 @@ def entropy_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("top_token_mass"),
         F.when(n > 0, ent).otherwise(F.lit(0.0)).alias("token_entropy"),
+    )
+
+
+def nfc_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC normalization signals: the canonical-form hash,
+    codepoint length, and whether normalization changed the text —
+    the preprocessing step that must run BEFORE any hash-keyed dedup
+    (the same visual text in NFC vs NFD hashes differently and
+    silently defeats exact dedup).
+
+    Spark has no built-in unicode-normalize expression, so this is a
+    GENUINE Arrow-batch Python stage (pandas ``Series.str.normalize``,
+    one vectorized call per batch) — the documented exception to the
+    stay-JVM rule: capability, not convenience. Everything derived
+    from the normalized string (md5, length, changed) is computed
+    JVM-side off the single UDF output column, which Spark's
+    ExtractPythonUDFs evaluates once per row.
+
+    DuckDB replays it exactly via ``nfc_normalize``. Output:
+    ``id_col, nfc_md5, n_chars_nfc, nfc_changed`` (NULL text
+    propagates NULLs).
+    """
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    with_nfc = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"), _nfc(text_col).alias("__nfc")
+    )
+    return with_nfc.select(
+        id_col,
+        F.md5(F.col("__nfc")).alias("nfc_md5"),
+        F.length(F.col("__nfc")).cast("int").alias("n_chars_nfc"),
+        (F.col("__nfc") != F.col("__t")).alias("nfc_changed"),
     )

@@ -338,6 +338,14 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization signals (pre-dedup canonicalization);
+    the one genuine Arrow-Python stage in the text family — Spark has
+    no built-in unicode normalizer. DuckDB replays via nfc_normalize."""
+    docs = load(spark, sf_dir, "documents")
+    return textqa.nfc_features(docs)
+
+
 def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: odd doc_ids are the incoming batch,
     even doc_ids the history; each incoming doc is flagged when its

@@ -1074,3 +1074,23 @@ def test_dedup_against_corpus_flags(spark):
     # original batch columns survive
     cols = dedup.dedup_against_corpus(new, corpus).columns
     assert cols == ["doc_id", "text", "is_exact_dup"]
+
+
+def test_nfc_features_unicode(spark):
+    import hashlib
+    import unicodedata
+
+    nfd_cafe = "café"            # e + combining acute (NFD)
+    nfc_cafe = unicodedata.normalize("NFC", nfd_cafe)
+    assert nfd_cafe != nfc_cafe and len(nfc_cafe) == 4
+    rows = [(1, nfd_cafe), (2, nfc_cafe), (3, "plain ascii"), (4, None),
+            (5, "Ａ　x")]       # fullwidth A + ideographic space (NFC-stable)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textqa.nfc_features(df).collect()}
+    assert got[1].nfc_changed is True and got[2].nfc_changed is False
+    assert got[1].nfc_md5 == got[2].nfc_md5 == hashlib.md5(
+        nfc_cafe.encode()).hexdigest()
+    assert got[1].n_chars_nfc == 4
+    assert got[3].nfc_changed is False
+    assert (got[4].nfc_md5, got[4].n_chars_nfc, got[4].nfc_changed) == (None, None, None)
+    assert got[5].nfc_changed is False and got[5].n_chars_nfc == 3
