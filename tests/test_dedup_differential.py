@@ -212,3 +212,63 @@ def test_semantic_dedup_differential(spark, seed, threshold, n_lists, cap):
                                      max_cluster_size=cap).collect()}
     assert got == exp, (seed, {k: (got[k], exp[k])
                                for k in got if got[k] != exp[k]})
+
+
+def _py_incremental(new_rows, hist_rows):
+    def norm(t):
+        return re.sub(r"\s+", " ", t.strip().lower()) if t is not None else None
+
+    hist = {hashlib.md5(norm(t).encode()).hexdigest()
+            for _, t in hist_rows if t is not None}
+    return {i: (norm(t) is not None
+                and hashlib.md5(norm(t).encode()).hexdigest() in hist)
+            for i, t in new_rows}
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_incremental_dedup_differential(spark, seed):
+    rng = random.Random(seed)
+    hist_rows = [(i, " ".join(rng.choice(_WORDS)
+                              for _ in range(rng.randrange(3, 10))))
+                 for i in range(150)]
+    new_rows = []
+    for i in range(150):
+        roll = rng.random()
+        if roll < 0.3:
+            # re-ingested history doc, possibly re-whitespaced/cased
+            _, t = rng.choice(hist_rows)
+            t = t.upper() if rng.random() < 0.5 else ("  " + t.replace(" ", "\t"))
+            new_rows.append((1000 + i, t))
+        elif roll < 0.38:
+            new_rows.append((1000 + i, rng.choice([None, "", "   "])))
+        else:
+            new_rows.append((1000 + i, " ".join(
+                rng.choice(_WORDS) for _ in range(rng.randrange(3, 10))) + f" u{i}"))
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    exp = _py_incremental(new_rows, hist_rows)
+    got = {r.doc_id: r.is_exact_dup for r in
+           dedup.dedup_against_corpus(new, hist).collect()}
+    assert got == exp, (seed, {k: (got[k], exp[k])
+                               for k in got if got[k] != exp[k]})
+
+
+def test_nfc_differential(spark):
+    import hashlib as _h
+    import unicodedata
+
+    rng = random.Random(41)
+    pool = ["café", "café", "Å", "Å", "Å",  # NFD/NFC/angstrom
+            "plain", "", "ẍý", "Ａ　x", "ȩ́"]
+    rows = [(i, rng.choice(pool) + rng.choice(["", " tail", "́"]))
+            for i in range(120)] + [(999, None)]
+    from jschon_spark.operators import textqa
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.nfc_md5, r.n_chars_nfc, r.nfc_changed) for r in
+           textqa.nfc_features(df).collect()}
+    for i, t in rows:
+        if t is None:
+            assert got[i] == (None, None, None)
+            continue
+        n = unicodedata.normalize("NFC", t)
+        assert got[i] == (_h.md5(n.encode()).hexdigest(), len(n), n != t), (i, t)
