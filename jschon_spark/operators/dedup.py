@@ -787,9 +787,12 @@ def dedup_against_corpus(
       daily batch's distinct hashes, NOT the history). The history's
       documents never move; only hashes ride the exchange.
     - optional NEAR (``near_simhash_max_hamming``): 64-bit simhash
-      fingerprints on both sides, banded into 4x16-bit pigeonhole
-      keys (Hamming <= 3 guarantees one exact band match), bucket
-      join + exact bit_count verify — same economics, 8-byte keys.
+      fingerprints on both sides, banded into ``k + 1`` pigeonhole
+      keys — differing in at most k bits guarantees one exact band
+      match for ANY k (unlike a fixed 4-band split, which only covers
+      k <= 3) — bucket join + exact bit_count verify. Same economics:
+      8-byte keys; larger k means narrower bands, hence coarser
+      buckets and more verify candidates (pick k small).
 
     Output: ``new_docs`` columns + ``is_exact_dup`` (+
     ``is_near_dup`` when the near pass is on). Ingestion keeps rows
@@ -813,7 +816,8 @@ def dedup_against_corpus(
     if near_simhash_max_hamming is None:
         return out
     k = near_simhash_max_hamming
-    bands = 4
+    bands = k + 1
+    width = 64 // bands
     nfp = with_simhash(
         new_docs.select(F.col(id_col).alias("__nid2"), F.col(text_col)),
         text_col, out_col="__fp",
@@ -825,7 +829,11 @@ def dedup_against_corpus(
     )
 
     def banded(fp: Column, b: int) -> Column:
-        return F.shiftrightunsigned(fp, b * 16).bitwiseAND(F.lit(0xFFFF))
+        start = b * width
+        w = width if b < bands - 1 else 64 - start
+        if w >= 64:  # single band (k=0): the key IS the fingerprint
+            return fp
+        return F.shiftrightunsigned(fp, start).bitwiseAND(F.lit((1 << w) - 1))
 
     n_ex = nfp.select(
         "__nid2", "__fp",

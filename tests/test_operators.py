@@ -1094,3 +1094,27 @@ def test_nfc_features_unicode(spark):
     assert got[3].nfc_changed is False
     assert (got[4].nfc_md5, got[4].n_chars_nfc, got[4].nfc_changed) == (None, None, None)
     assert got[5].nfc_changed is False and got[5].n_chars_nfc == 3
+
+
+def test_dedup_against_corpus_pigeonhole_recall(spark):
+    """k+1 banding must find a near-dup at EXACTLY hamming k even for
+    k > 3 (a fixed 4-band split only guarantees k <= 3). Construct two
+    token sets whose simhash signatures differ in a measured number of
+    bits, then assert the near flag at k = that distance."""
+    from jschon_spark.operators.dedup import with_simhash
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota kilo"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sigs = {r.doc_id: r.sig for r in with_simhash(df, "text").collect()}
+    # 64-bit two's-complement popcount (sigs are signed longs)
+    d = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    assert d > 3  # the case a 4-band split can miss
+    hist = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    new = spark.createDataFrame([(2, b)], "doc_id long, text string")
+    hit = dedup.dedup_against_corpus(
+        new, hist, near_simhash_max_hamming=d).collect()[0]
+    assert hit.is_near_dup is True
+    miss = dedup.dedup_against_corpus(
+        new, hist, near_simhash_max_hamming=max(0, d - 1)).collect()[0]
+    assert miss.is_near_dup is False
