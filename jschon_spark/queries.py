@@ -7,6 +7,8 @@ DuckDB oracle SQL in ``__spark_entry__.oracle_sql`` exactly.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -886,6 +888,64 @@ def custom_registry_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             unregister_keyword("x-divisibleBy")
 
 
+def _stage_stream_batches(staged: DataFrame, b_col: str, n_batches: int,
+                          tmp: str) -> str:
+    """Write micro-batch files ``batch_0..n-1`` in ONE Spark job.
+
+    One hash repartition on the batch id puts every row of a batch in
+    exactly one write task, so ``partitionBy`` emits exactly one
+    parquet file per batch value; files are renamed into ``src/`` with
+    strictly increasing mtimes so FileStreamSource (ordered by
+    (mtime, path)) replays batch b as micro-batch b. Replaces
+    ``n_batches`` sequential filter+coalesce(1) scans — round 7: prep
+    was ~n full scans of the events table per harness query (guide
+    §2.4, remove passes outright).
+    """
+    import os
+    import shutil
+
+    src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
+    parts = os.path.join(tmp, "parts")
+    (
+        staged.repartition(n_batches, F.col(b_col))
+        .write.partitionBy(b_col)
+        .parquet(parts)
+    )
+    for b in range(n_batches):
+        pdir = os.path.join(parts, f"{b_col}={b}")
+        [part] = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        dst = os.path.join(src, f"batch_{b}.parquet")
+        shutil.move(os.path.join(pdir, part), dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    return src
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession, partitions: int | None = None):
+    """Temporarily size shuffle/state-store partitions to the stream.
+
+    A streaming query's state-store partition count is frozen at
+    checkpoint creation from ``spark.sql.shuffle.partitions``, and
+    every state partition pays a delta file + commit per micro-batch.
+    These bounded replay harnesses hold a few thousand keys of state,
+    so inheriting the batch default multiplies checkpoint I/O (and,
+    for applyInPandasWithState, Python worker round-trips) for
+    nothing. Production sizes state partitions to peak state volume
+    the same way — override via JSS_STREAM_SHUFFLE_PARTITIONS.
+    """
+    import os
+
+    if partitions is None:
+        partitions = int(os.environ.get("JSS_STREAM_SHUFFLE_PARTITIONS", "8"))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate for the STATEFUL streaming dedup (round 4 — the last
     pytest-only §2.8 component): events are replayed as four
@@ -905,43 +965,36 @@ def streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id")
     tmp = tempfile.mkdtemp(prefix="jss_stream_dedup_")
-    src = os.path.join(tmp, "src")
     try:
-        for b in range(4):
-            part_dir = os.path.join(tmp, f"b{b}")
-            (
-                ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == b)
-                .select("user_id")
-                .coalesce(1)
-                .write.parquet(part_dir)
-            )
-            os.makedirs(src, exist_ok=True)
-            [part] = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            dst = os.path.join(src, f"batch_{b}.parquet")
-            shutil.move(os.path.join(part_dir, part), dst)
-            # FileStreamSource orders by (mtime, path): force a strict
-            # order so batch b is always micro-batch b
-            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        # one job writes all four batch files (mtime-ordered for
+        # FileStreamSource); previously 4 sequential single-task scans
+        src = _stage_stream_batches(
+            ev.select(
+                F.pmod(F.col("event_id"), F.lit(4)).alias("b"), "user_id"
+            ),
+            "b", 4, tmp,
+        )
         stream = (
             spark.readStream.schema("user_id bigint")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = (
-            first_seen(stream, "user_id")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("jss_dedup_firstseen")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            rows = spark.sql(
-                "SELECT user_id, n_first_batch FROM jss_dedup_firstseen"
-            ).collect()
-        finally:
-            q.stop()
+        with _stream_shuffle(spark):
+            q = (
+                first_seen(stream, "user_id")
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName("jss_dedup_firstseen")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                rows = spark.sql(
+                    "SELECT user_id, n_first_batch FROM jss_dedup_firstseen"
+                ).collect()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, "user_id bigint, n_first_batch bigint")
@@ -995,28 +1048,13 @@ def streaming_late_data_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     staged = ev.select(b.alias("b"), ts2.alias("ts2"), "value")
     tmp = tempfile.mkdtemp(prefix="jss_stream_late_")
-    src = os.path.join(tmp, "src")
-    os.makedirs(src, exist_ok=True)
     try:
-        for bi in range(3):
-            part_dir = os.path.join(tmp, f"b{bi}")
-            (
-                staged.filter(F.col("b") == bi).select("ts2", "value")
-                .coalesce(1).write.parquet(part_dir)
-            )
-            [part] = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            dst = os.path.join(src, f"batch_{bi}.parquet")
-            shutil.move(os.path.join(part_dir, part), dst)
-            os.utime(dst, (1_700_000_000 + bi, 1_700_000_000 + bi))
+        # sentinel rides the same single-job partitionBy write as the
+        # three real batches (was: 4 sequential coalesce(1) jobs)
         sentinel = spark.createDataFrame(
-            [("2024-01-03 00:00:30", 0.0)], "t string, value double"
-        ).select(F.to_timestamp("t").alias("ts2"), "value")
-        sdir = os.path.join(tmp, "b3")
-        sentinel.coalesce(1).write.parquet(sdir)
-        [part] = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
-        dst = os.path.join(src, "batch_3.parquet")
-        shutil.move(os.path.join(sdir, part), dst)
-        os.utime(dst, (1_700_000_003, 1_700_000_003))
+            [(3, "2024-01-03 00:00:30", 0.0)], "b bigint, t string, value double"
+        ).select("b", F.to_timestamp("t").alias("ts2"), "value")
+        src = _stage_stream_batches(staged.unionByName(sentinel), "b", 4, tmp)
 
         stream = (
             spark.readStream.schema("ts2 timestamp, value double")
@@ -1028,23 +1066,24 @@ def streaming_late_data_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"properties": {"value": {"maximum": 200}}}
         )
         validated = validate_stream(compiled, stream)
-        q = (
-            windowed_verdicts(validated, ts_col="ts2", window="1 hour",
-                              watermark="2 hours")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("jss_late_verdicts")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            rows = spark.sql(
-                "SELECT window_start, window_end, n_docs, n_failed, passed "
-                "FROM jss_late_verdicts"
-            ).collect()
-        finally:
-            q.stop()
+        with _stream_shuffle(spark):
+            q = (
+                windowed_verdicts(validated, ts_col="ts2", window="1 hour",
+                                  watermark="2 hours")
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName("jss_late_verdicts")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                rows = spark.sql(
+                    "SELECT window_start, window_end, n_docs, n_failed, passed "
+                    "FROM jss_late_verdicts"
+                ).collect()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
@@ -1425,53 +1464,47 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(ts_us.cast("long")).alias("ts"), b.alias("b"),
     )
     tmp = tempfile.mkdtemp(prefix="jss_stream_sess_")
-    src = os.path.join(tmp, "src")
     try:
-        os.makedirs(src, exist_ok=True)
-        for batch in range(4):
-            part_dir = os.path.join(tmp, f"b{batch}")
-            if batch < 3:
-                batch_df = staged.filter(F.col("b") == batch).select(
-                    "user_id", "ts", "value"
-                )
-            else:
-                batch_df = spark.createDataFrame(
-                    [(-1,)], "user_id bigint"
-                ).select(
-                    "user_id",
-                    F.timestamp_micros(
-                        F.lit(base_us + 10 * 86400 * 1_000_000)
-                    ).alias("ts"),
-                    F.lit(0.0).alias("value"),
-                )
-            batch_df.coalesce(1).write.parquet(part_dir)
-            [part] = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            dst = os.path.join(src, f"batch_{batch}.parquet")
-            shutil.move(os.path.join(part_dir, part), dst)
-            # FileStreamSource orders by (mtime, path): force the order
-            os.utime(dst, (1_700_000_000 + batch, 1_700_000_000 + batch))
+        # sentinel (user -1, 10 days ahead) rides the same single-job
+        # partitionBy write as the three real batches (was: 4
+        # sequential coalesce(1) jobs, each a full scan of events)
+        sentinel = spark.createDataFrame(
+            [(3, -1)], "b bigint, user_id bigint"
+        ).select(
+            "b",
+            "user_id",
+            F.timestamp_micros(
+                F.lit(base_us + 10 * 86400 * 1_000_000)
+            ).alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        src = _stage_stream_batches(
+            staged.select("b", "user_id", "ts", "value").unionByName(sentinel),
+            "b", 4, tmp,
+        )
         stream = (
             spark.readStream.schema("user_id bigint, ts timestamp, value double")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
             .withWatermark("ts", "1 hour")
         )
-        q = (
-            sessions.sessionize(stream, gap="30 minutes")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("jss_stream_sessions")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            rows = spark.sql(
-                "SELECT user_id, session_start_us, n_events, span_us,"
-                " total_value FROM jss_stream_sessions"
-            ).collect()
-        finally:
-            q.stop()
+        with _stream_shuffle(spark):
+            q = (
+                sessions.sessionize(stream, gap="30 minutes")
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName("jss_stream_sessions")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                rows = spark.sql(
+                    "SELECT user_id, session_start_us, n_events, span_us,"
+                    " total_value FROM jss_stream_sessions"
+                ).collect()
+            finally:
+                q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(

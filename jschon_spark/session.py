@@ -44,10 +44,19 @@ def get_spark(
         "SPARK_DRIVER_JAVA_OPTS", ""
     )
 
+    # Whole-stage-codegen class cache: the default (100 entries) evicts
+    # constantly for a driver that runs many distinct plans (this
+    # engine's production shape: one plan per schema/operator), forcing
+    # Janino recompilation of plans it just compiled. Each cached entry
+    # is a few KB of generated class; 4096 entries is still megabytes.
+    # Scale-independent (driver JVM cache, not data-sized).
+    codegen_cache = os.environ.get("SPARK_CODEGEN_CACHE_ENTRIES", "4096")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.codegen.cache.maxEntries", codegen_cache)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
