@@ -511,10 +511,18 @@ def duplicate_clusters(
     ).persist()
     _cachereg.track("duplicate_clusters_edges", edges)
 
-    if small_graph_max_edges and (
-        edges.limit(2 * small_graph_max_edges + 1).count()
-        <= 2 * small_graph_max_edges
-    ):
+    # ONE bounded action decides the gate AND fetches the edges (round
+    # 7 — was a limit+count job followed by a separate collect job,
+    # each recomputing partitions the limit's short-circuit had
+    # skipped caching): collect at most 2*cap+1 rows (~a few MB at the
+    # default); if over the gate the probe is discarded and the
+    # distributed loop below runs unchanged.
+    probe = (
+        edges.limit(2 * small_graph_max_edges + 1).collect()
+        if small_graph_max_edges
+        else None
+    )
+    if probe is not None and len(probe) <= 2 * small_graph_max_edges:
         parent: dict = {}
 
         def find(x):
@@ -523,7 +531,7 @@ def duplicate_clusters(
                 x = parent[x]
             return x
 
-        for r in edges.collect():
+        for r in probe:
             a, b = r["a"], r["b"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)

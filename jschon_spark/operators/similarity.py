@@ -22,10 +22,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from jschon_spark.operators import _cachereg
+from jschon_spark.operators import _cachereg, _partitions
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Float64 dot product. With ``dim`` known, the fold is UNROLLED
+    into a flat multiply-add chain over ``element_at`` references —
+    higher-order functions are evaluated interpreted (outside
+    whole-stage codegen), so the unrolled form is ~10x faster in
+    pair-verify loops. Identical left-to-right fold order starting at
+    0.0, so the result is bit-identical to the aggregate form on
+    fixed-``dim`` arrays (round 7, guide §4.1: prefer codegen'd
+    built-ins over interpreted per-element dispatch)."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + F.element_at(a, i).cast("double") * F.element_at(
+                b, i
+            ).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -33,9 +48,13 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-
-
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            x = F.element_at(a, i).cast("double")
+            acc = acc + x * x
+        return F.sqrt(acc)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -45,11 +64,11 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     # zero vectors have undefined cosine -> NULL (never a divide-by-zero
     # error under ANSI mode; filters then exclude the pair)
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dot(a, b) / denom)
+    denom = l2_norm(a, dim) * l2_norm(b, dim)
+    return F.when(denom > 0, dot(a, b, dim) / denom)
 
 
 def brute_force_topk(
@@ -59,8 +78,10 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query. Queries broadcast; corpus scanned once.
+    Pass ``dim`` when known to unroll the cosine (see :func:`dot`).
 
     Output: query_id, vec_id, cos:double, rank:int (1-based).
     """
@@ -89,7 +110,14 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def _dot_sql(vec_sql: str, values: list[float]) -> str:
     """SQL text for dot(vec, literal array) — same zip_with/aggregate
-    fold (left-to-right, double) as :func:`dot`, bit-identical."""
+    fold (left-to-right, double) as :func:`dot`, bit-identical.
+
+    Deliberately NOT unrolled (round 7): this helper is instantiated
+    once per hyperplane/centroid (48 copies in an 8-table hash), so a
+    64-term flat tree here multiplies ANALYSIS/codegen cost into the
+    tens of seconds, while the per-row evaluation it feeds is linear
+    and cheap. Unrolling pays only in per-PAIR verify loops — see
+    :func:`dot`'s ``dim`` path."""
     arr = ", ".join(f"{float(x)!r}D" for x in values)
     return (
         f"aggregate(zip_with({vec_sql}, array({arr}), "
@@ -254,6 +282,9 @@ def seeded_centroids(dim: int, n_lists: int, seed: int = 7) -> list[list[float]]
 
 
 def _sq_dist_sql(vec_sql: str, centroid: list[float]) -> str:
+    # NOT unrolled — instantiated once per centroid (and twice in
+    # assign_list's argmin), so flat 64-term trees blow up planning;
+    # see _dot_sql's round-7 note
     arr = ", ".join(f"{float(x)!r}D" for x in centroid)
     return (
         f"aggregate(zip_with({vec_sql}, array({arr}), "
@@ -596,6 +627,10 @@ def semantic_dedup(
     """
     from jschon_spark.operators import dedup as _dedup
 
+    # tiny single-file corpora otherwise run the whole assignment
+    # projection (and the first pair-verify stage feeding it) in one
+    # task; no-op at scale
+    corpus = _partitions.fan_out(corpus)
     centroids = seeded_centroids(dim, n_lists, seed)
     # centroid norms fold to Python literals, and the row's own norm
     # appears once per centroid instead of via 16 l2_norm aggregates —
@@ -604,6 +639,13 @@ def semantic_dedup(
     cnorms = [math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids]
 
     def _ccos_array(vec: Column) -> Column:
+        # HOF dots kept here on purpose: 16 centroid instantiations of
+        # an unrolled 64-term tree (plus 32 copies of the norm subtree)
+        # multiplied ANALYSIS time ~8x when tried in round 7; this
+        # projection is per-row/linear and evaluated once per row via
+        # the persist below, so interpreted evaluation is not the
+        # bottleneck — and at production cluster counts the Arrow GEMM
+        # path replaces it entirely.
         nv = l2_norm(vec)
         return F.array(
             *[
