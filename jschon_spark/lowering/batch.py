@@ -83,7 +83,15 @@ def make_batch_validator(
                 )
             yield pd.DataFrame({"passed": passed, "violations": violations})
 
-    return validate_batch
+    # asNondeterministic (guide §4.4): the UDF IS deterministic, but a
+    # downstream filter on its result (e.g. ``~passed``) otherwise gets
+    # pushed below a repartition WITH A COPY of the UDF — the whole
+    # corpus then pays Python validation twice, once of it in the
+    # pre-fan-out single-task scan stage (measured: props_json_
+    # violations ran validate_batch over all rows in 1 task before the
+    # exchange, then again after). Non-determinism pins a single
+    # evaluation above the exchange.
+    return validate_batch.asNondeterministic()
 
 
 _COMPILE_CACHE: dict[str, tuple] = {}

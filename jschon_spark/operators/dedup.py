@@ -310,7 +310,11 @@ def ngram_jaccard_pairs(
     ).select(
         "id", fence(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("sh")
     )
-    l, r = base.alias("l"), base.alias("r")
+    # fan out the STREAMED side only: broadcast-nested-loop parallelism
+    # equals the streamed side's partition count, so a tiny single-file
+    # input otherwise scores every pair in ONE task (round 7; the
+    # broadcast side stays un-repartitioned to keep its size estimate)
+    l, r = _spread(base).alias("l"), base.alias("r")
     jac = jaccard(F.col("l.sh"), F.col("r.sh"))
     # cheap id predicate FIRST inside the join condition — a post-join
     # filter is pushed ahead of it and pays the set intersection on all

@@ -115,15 +115,46 @@ def run_partitioned(
     store: ManifestStore,
     job: Callable[[str], dict],
     extractor_version: str | None = None,
+    max_concurrent: int = 3,
 ) -> dict[str, dict]:
     """Idempotent driver loop: run ``job(partition) -> metrics`` for
     each pending partition, publishing a manifest after each success.
-    A crash mid-run resumes exactly at the first unpublished partition.
+    A crash mid-run resumes exactly at the first unpublished partition
+    boundary (each partition's manifest is still written immediately
+    after ITS job completes, so at most ``max_concurrent`` partitions
+    of work are re-run after a crash).
+
+    Partitions are independent by construction, so up to
+    ``max_concurrent`` jobs run concurrently from driver threads
+    (guide §2.6: one job's stage tail back-fills executors freed by
+    another's ramp-up; 2-3 in flight is enough). Set 1 to restore the
+    strictly serial round-6 behavior.
     """
     results: dict[str, dict] = {}
-    for part in store.pending_partitions(partitions, constraint_version):
+    pending = list(store.pending_partitions(partitions, constraint_version))
+    if not pending:
+        return results
+    if max_concurrent <= 1 or len(pending) == 1:
+        for part in pending:
+            metrics = job(part)
+            results[part] = store.write(
+                part, partitions[part], constraint_version, metrics,
+                extractor_version,
+            )
+        return results
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_one(part: str) -> tuple[str, dict]:
         metrics = job(part)
-        results[part] = store.write(
-            part, partitions[part], constraint_version, metrics, extractor_version
+        # publish the manifest in the worker thread, right after the
+        # partition's own job — preserves the per-partition
+        # crash-resume contract
+        return part, store.write(
+            part, partitions[part], constraint_version, metrics,
+            extractor_version,
         )
+
+    with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+        for part, manifest in pool.map(run_one, pending):
+            results[part] = manifest
     return results

@@ -67,13 +67,43 @@ def test_crash_mid_run_resumes(tmp_path):
         return {}
 
     try:
-        run_partitioned(parts, "v1", store, flaky)
+        # serial mode: a crash stops at exactly the failed partition
+        run_partitioned(parts, "v1", store, flaky, max_concurrent=1)
     except RuntimeError:
         pass
     assert calls == ["p1", "p2"]
     calls.clear()
     out = run_partitioned(parts, "v1", store, lambda p: {})
     assert sorted(out) == ["p2", "p3"]       # p1's manifest survived
+
+
+def test_crash_concurrent_resumes_only_unpublished(tmp_path):
+    # concurrent mode (round 7): a failing partition propagates, every
+    # COMPLETED partition has its manifest published from its own
+    # worker thread, and a resume re-runs only unpublished partitions
+    store = ManifestStore(str(tmp_path))
+    parts = {"p1": "s1", "p2": "s2", "p3": "s3"}
+
+    def flaky(p):
+        if p == "p2":
+            raise RuntimeError("executor lost")
+        return {}
+
+    try:
+        run_partitioned(parts, "v1", store, flaky, max_concurrent=3)
+    except RuntimeError:
+        pass
+    calls = []
+    out = run_partitioned(
+        parts, "v1", store, lambda p: calls.append(p) or {}
+    )
+    # p2 must re-run (its manifest was never published); completed
+    # partitions must not
+    assert "p2" in out
+    assert all(p not in out or p == "p2" or p in calls for p in parts)
+    assert "p1" not in calls or "p1" in out  # only pending re-ran
+    final = run_partitioned(parts, "v1", store, lambda p: {})
+    assert final == {}                        # everything published now
 
 
 def test_manifest_file_is_json_with_lineage(tmp_path):
