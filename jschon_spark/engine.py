@@ -42,6 +42,15 @@ class CompiledSchema:
         self.base_uri = base_uri
         self.assert_formats = assert_formats
         self._store = [schema]
+        # lowered-Column memo (round 7): Column trees are immutable
+        # expression handles independent of any particular DataFrame,
+        # and building them costs hundreds of py4j round-trips
+        # (~0.5s per apply on the flagship schemas). Within one
+        # CompiledSchema the catalog is fixed, so lowering is a pure
+        # function of (dtype, doc column layout) — compile once, apply
+        # many, the reference's own architecture.
+        self._typed_cache: dict = {}
+        self._json_cache: dict = {}
 
     # -- typed path ---------------------------------------------------------
     def lower_columns(
@@ -69,17 +78,24 @@ class CompiledSchema:
             [df.schema[c] for c in doc_cols]
         )
         row = F.struct(*[F.col(c) for c in doc_cols])
-        try:
-            valid, viols = self.lower_columns(struct_type, row)
+        key = (struct_type.simpleString(), tuple(doc_cols))
+        hit = self._typed_cache.get(key)
+        if hit is None:
+            try:
+                hit = self.lower_columns(struct_type, row)
+            except CannotLower:
+                hit = CannotLower
+            self._typed_cache[key] = hit
+        if hit is not CannotLower:
+            valid, viols = hit
             return df.withColumn("passed", valid).withColumn(
                 "violations", viols.cast(VIOLATION_DDL)
             )
-        except CannotLower:
-            with_json = df.withColumn("__doc", F.to_json(row))
-            out = validate_json_column(
-                with_json, "__doc", self.schema, self._store, self.assert_formats
-            )
-            return out.drop("__doc")
+        with_json = df.withColumn("__doc", F.to_json(row))
+        out = validate_json_column(
+            with_json, "__doc", self.schema, self._store, self.assert_formats
+        )
+        return out.drop("__doc")
 
     # -- dynamic JSON path ----------------------------------------------------
     def apply_json(
@@ -94,16 +110,34 @@ class CompiledSchema:
         """
         if prefer_variant:
             from jschon_spark.lowering.variant import (
-                validate_json_column_variant,
+                VariantLowerer,
             )
 
-            try:
-                return validate_json_column_variant(
-                    df, json_col, self.schema, self.catalog,
-                    self.assert_formats, self.base_uri,
+            key = (json_col, self.base_uri)
+            hit = self._json_cache.get(key)
+            if hit is None:
+                lowerer = VariantLowerer(self.catalog, self.assert_formats)
+                try:
+                    hit = lowerer.lower(
+                        self.schema, F.col(json_col),
+                        F.col("__variant_doc"), self.base_uri,
+                    )
+                except CannotLower:
+                    hit = CannotLower
+                self._json_cache[key] = hit
+            if hit is not CannotLower:
+                passed, violations = hit
+                # parse materialized as its own projection so every
+                # keyword references the variant COLUMN (parsed once —
+                # see lowering/variant.validate_json_column_variant)
+                return (
+                    df.withColumn(
+                        "__variant_doc", F.try_parse_json(F.col(json_col))
+                    )
+                    .withColumn("passed", passed)
+                    .withColumn("violations", violations)
+                    .drop("__variant_doc")
                 )
-            except CannotLower:
-                pass
         return validate_json_column(
             df, json_col, self.schema, self._store, self.assert_formats
         )
