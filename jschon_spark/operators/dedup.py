@@ -99,6 +99,45 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def _minhash_sig_sql(sh_col: str, num_hashes: int, portable: bool) -> str:
+    """SQL text replaying minhash_signature (xxhash64) or the portable
+    md5 signature — same functions per element, bit-identical; one
+    py4j round-trip instead of ~6 per hash (round 7)."""
+    if portable:
+        mins = ", ".join(
+            f"array_min(transform({sh_col}, s -> md5(concat('{i}|', s))))"
+            for i in range(num_hashes)
+        )
+    else:
+        mins = ", ".join(
+            f"array_min(transform({sh_col}, s -> xxhash64(s, {i})))"
+            for i in range(num_hashes)
+        )
+    return f"array({mins})"
+
+
+def _band_structs_sql(sig_col: str, bands: int, rows_per_band: int,
+                      portable: bool) -> str:
+    """SQL text for the exploded (band, bucket) array — replays the
+    Column banding expressions exactly (xxhash64 over the
+    comma-joined stringified slice, or md5 over the |-joined slice)."""
+    structs = []
+    for b in range(bands):
+        off = b * rows_per_band + 1
+        if portable:
+            bucket = (
+                f"md5(concat_ws('|', slice({sig_col}, {off}, {rows_per_band})))"
+            )
+        else:
+            bucket = (
+                f"xxhash64(array_join(transform("
+                f"slice({sig_col}, {off}, {rows_per_band}), "
+                f"v -> CAST(v AS STRING)), ','))"
+            )
+        structs.append(f"named_struct('band', {b}, 'bucket', {bucket})")
+    return f"array({', '.join(structs)})"
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two string-array sets."""
     inter = F.size(F.array_intersect(a, b))
@@ -138,7 +177,11 @@ def minhash_near_duplicates(
         "id", fence(tokens(normalized(F.col("__t")))).alias("__tk")
     ).select(
         "id", fence(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    ).withColumn(
+        # SQL text in one py4j round-trip (bit-identical — round 7,
+        # see _minhash_sig_sql)
+        "sig", F.expr(_minhash_sig_sql("sh", num_hashes, portable=False))
+    )
     # the signature relation feeds three branches (banding + both sides
     # of the verify join); without persist each branch would recompute
     # num_hashes passes over every shingle array
@@ -151,23 +194,7 @@ def minhash_near_duplicates(
     banded = base.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                    lambda v: v.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.expr(_band_structs_sql("sig", bands, rows_per_band, False))
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
@@ -238,36 +265,15 @@ def minhash_near_duplicates_portable(
     ).select(
         "id", fence(shingles_from_tokens(F.col("__tk"), shingle_n)).alias("sh")
     ).withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("sh"), _md5_seed_factory(i)
-                    )
-                )
-                for i in range(num_hashes)
-            ]
-        ),
+        # SQL text in one py4j round-trip (bit-identical — round 7)
+        "sig", F.expr(_minhash_sig_sql("sh", num_hashes, portable=True))
     )
     base = base.persist()
     _cachereg.track("minhash_near_duplicates_portable", base)
     banded = base.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.expr(_band_structs_sql("sig", bands, rows_per_band, True))
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     l, r = banded.alias("l"), banded.alias("r")
@@ -377,12 +383,74 @@ def simhash_from_counts(counts: Column, bits: int = 64) -> Column:
     return sig
 
 
+def _token_hash_sql(hash_fn):
+    """SQL text factory for the per-token hash, or None when hash_fn
+    is a custom callable the SQL fast path cannot mirror."""
+    if hash_fn is None:
+        return lambda t: f"xxhash64({t})"
+    if hash_fn is md5_hash60:
+        return (
+            lambda t: f"CAST(conv(substring(md5({t}), 1, 15), 16, 10) AS BIGINT)"
+        )
+    return None
+
+
+def _simhash_counts_sql(col_sql: str, bits: int, hash_sql) -> str:
+    """SQL text replaying simhash_counts(tokens(normalized(col)))
+    exactly — same functions, same fold order, bit-identical. Built as
+    ONE string because the Column form costs ~750 py4j round-trips
+    (~1.1s of driver time per call, round 7 — same rationale as
+    similarity.lsh_bucket's F.expr fast path)."""
+    toks = (
+        f"filter(split(regexp_replace(lower(trim({col_sql})), '\\\\s+', ' '),"
+        f" '\\\\s+'), x -> x != '')"
+    )
+    bitvec = ", ".join(
+        f"CAST((((shiftright(h, {i}) & 1) * 2) - 1) AS BIGINT)"
+        for i in range(bits)
+    )
+    return (
+        f"aggregate(transform({toks}, t -> {hash_sql('t')}), "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, array({bitvec}), (a, b) -> a + b))"
+    )
+
+
+def _simhash_sig_sql(counts_col: str, bits: int) -> str:
+    """SQL text replaying simhash_from_counts (left-assoc OR fold from
+    0L, same CASE/shift per bit — bit-identical)."""
+    sig = "CAST(0 AS BIGINT)"
+    for i in range(bits):
+        bit = (
+            f"CASE WHEN element_at({counts_col}, {i + 1}) > 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+        sig = f"({sig} | {bit})"
+    return sig
+
+
 def with_simhash(
     df: DataFrame, text_col: str, out_col: str = "sig",
     bits: int = 64, hash_fn=None,
 ) -> DataFrame:
     """Add a SimHash column in two projections (counts, then
-    signature) so the aggregate is evaluated once per row."""
+    signature) so the aggregate is evaluated once per row.
+
+    For the two stock hashes (xxhash64, md5_hash60) the whole
+    expression is built as SQL text in one py4j round-trip (values
+    bit-identical — see _simhash_counts_sql); a custom ``hash_fn``
+    callable falls back to the Column builders."""
+    hash_sql = _token_hash_sql(hash_fn)
+    if hash_sql is not None:
+        return (
+            df.withColumn(
+                "__sh_counts",
+                F.expr(_simhash_counts_sql(f"`{text_col}`", bits, hash_sql)),
+            )
+            .withColumn(out_col, F.expr(_simhash_sig_sql("__sh_counts", bits)))
+            .drop("__sh_counts")
+        )
     return (
         df.withColumn("__sh_counts", simhash_counts(F.col(text_col), bits, hash_fn))
         .withColumn(out_col, simhash_from_counts(F.col("__sh_counts"), bits))
