@@ -396,26 +396,31 @@ def brute_force_pairs(
     multiply-add chain over plain doubles — no array access, no
     lambda dispatch, same left-to-right fold order (bit-identical).
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
+    if dim:
+        # flatten via ONE struct expr + star-expand, and the pair dot
+        # as ONE SQL string: the per-element Column loops cost ~260
+        # py4j round-trips (~0.5s of driver time per call — round 7).
+        # Same element_at/cast/left-fold, bit-identical values.
+        flat = ", ".join(
+            f"CAST(element_at(`{vec_col}`, {i}) AS DOUBLE) AS __e{i}"
+            for i in range(1, dim + 1)
+        )
+        base = df.select(
+            F.col(id_col).alias("id"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+            F.expr(f"struct({flat})").alias("__s"),
+        ).select("id", "nrm", "__s.*")
+    else:
         # the raw array rides through the O(n²) join only when needed
-        *([] if dim else [F.col(vec_col).alias("v")]),
-        l2_norm(F.col(vec_col)).alias("nrm"),
-        *(
-            [
-                F.element_at(F.col(vec_col), i).cast("double").alias(f"__e{i}")
-                for i in range(1, dim + 1)
-            ]
-            if dim
-            else []
-        ),
-    )
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(F.col(vec_col)).alias("nrm"),
+        )
     l, r = base.alias("l"), base.alias("r")
     if dim:
-        acc = F.lit(0.0)
-        for i in range(1, dim + 1):
-            acc = acc + F.col(f"l.__e{i}") * F.col(f"r.__e{i}")
-        pair_dot = acc
+        terms = " + ".join(f"(l.__e{i} * r.__e{i})" for i in range(1, dim + 1))
+        pair_dot = F.expr(f"0.0D + {terms}")
     else:
         pair_dot = dot(F.col("l.v"), F.col("r.v"))
     denom = F.col("l.nrm") * F.col("r.nrm")
@@ -746,6 +751,13 @@ def semantic_dedup(
     r = part.select(
         F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__list"
     )
+    # Pair verify stays on the compact HOF cosine: the unrolled form
+    # was tried twice in round 7 — inlined into the join condition it
+    # overflows Janino's method limit (no splitting there) and falls
+    # back to interpreted; behind a nondeterministic fence in a
+    # Project it loses whole-stage codegen and evaluates the flat
+    # tree interpreted, ~2x slower than the HOF fold. Measured
+    # 4.7s -> 8.5s; reverted.
     pairs = (
         l.join(r, "__list")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -232,12 +232,55 @@ def entropy_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     from jschon_spark.operators._hof import fence
 
     tmp = df.withColumn("__toks", fence(tokens(F.col(text_col))))
+    # Count vector build, round 7 (VERDICT r6 #2): the old form
+    # filtered the token array once per DISTINCT token —
+    # O(distinct x tokens) per row, a single-task straggler by
+    # construction on a 200k-token boilerplate doc. This form is
+    # O(n log n): sort (token, first_position) pairs, count runs of
+    # equal tokens, then re-sort the runs by each token's FIRST
+    # position. Carrying the position through both sorts keeps the
+    # count vector in exactly the old first-occurrence order, so the
+    # entropy fold adds the same doubles in the same order —
+    # bit-identical output (a plain sorted-run build was measured to
+    # flip the last ulp on 3120/5000 fixture rows and was rejected).
+    toks = F.col("__toks")
+    srt = F.array_sort(
+        F.transform(
+            toks, lambda t, i: F.struct(t.alias("t"), i.alias("p"))
+        )
+    )
+    tmp = tmp.withColumn("__srt", fence(srt))
+    srt = F.col("__srt")
+    m = F.size(srt)
+    # 1-based cumulative END index of each equal-token run
+    ends = F.filter(
+        F.transform(
+            srt,
+            lambda x, i: F.when(
+                (i == m - 1) | (x["t"] != F.get(srt, i + 1)["t"]), i + 1
+            ),
+        ),
+        lambda v: v.isNotNull(),
+    )
+    tmp = tmp.withColumn("__ends", fence(ends))
+    ends = F.col("__ends")
+    starts = F.concat(
+        F.array(F.lit(0)),
+        F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0))),
+    )
+    runs = F.zip_with(
+        ends,
+        starts,
+        lambda e, s: F.struct(
+            F.get(srt, s)["p"].alias("fp"), (e - s).alias("c")
+        ),
+    )
+    cnts = F.transform(F.array_sort(runs), lambda r: r["c"])
     tmp = tmp.withColumn(
         "__cnts",
         fence(
-            F.transform(
-                F.array_distinct(F.col("__toks")),
-                lambda d: F.size(F.filter(F.col("__toks"), lambda t: t == d)),
+            F.when(F.size(toks) > 0, cnts).otherwise(
+                F.array().cast("array<int>")
             )
         ),
     )

@@ -895,6 +895,56 @@ def test_entropy_features_matches_python_oracle(spark):
         assert abs(r.distinct_token_frac - len(cnt) / n) < 1e-12
 
 
+def test_entropy_features_fold_order_bit_identical(spark):
+    """The round-7 O(n log n) sorted-run count build must keep the
+    count vector in FIRST-OCCURRENCE order so the entropy fold adds
+    the same doubles in the same order as the old
+    O(distinct x tokens) build — compare against that old construction
+    with exact (bitwise) equality, including ties and empty docs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jschon_spark.operators._hof import fence
+    from jschon_spark.operators.textqa import tokens
+
+    rng = random.Random(41)
+    words = ["zz", "aa", "mm", "aa1", "b", "zz"]  # unsorted first-occurrences
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 60))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    new = textqa.entropy_features(df).select("doc_id", "token_entropy")
+    tmp = df.withColumn("__toks", fence(tokens(F.col("text"))))
+    tmp = tmp.withColumn(
+        "__cnts",
+        fence(
+            F.transform(
+                F.array_distinct(F.col("__toks")),
+                lambda d: F.size(F.filter(F.col("__toks"), lambda t: t == d)),
+            )
+        ),
+    )
+    n = F.size(F.col("__toks"))
+    ent = -F.aggregate(
+        F.col("__cnts"),
+        F.lit(0.0),
+        lambda acc, c: acc + (c.cast("double") / n) * F.log(c.cast("double") / n),
+    )
+    old = tmp.select(
+        "doc_id",
+        F.when(n > 0, ent).otherwise(F.lit(0.0)).alias("token_entropy"),
+    )
+    bad = (
+        old.alias("o")
+        .join(new.alias("n"), "doc_id")
+        .filter("o.token_entropy IS DISTINCT FROM n.token_entropy")
+        .count()
+    )
+    assert bad == 0
+
+
 def test_domain_blocklist_filter(spark):
     from jschon_spark.operators import webtext
 
