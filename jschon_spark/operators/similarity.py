@@ -417,7 +417,15 @@ def brute_force_pairs(
             F.col(vec_col).alias("v"),
             l2_norm(F.col(vec_col)).alias("nrm"),
         )
-    l, r = base.alias("l"), base.alias("r")
+    # fan out the STREAMED side and pin the broadcast side explicitly:
+    # BNLJ parallelism equals the streamed side's partition count, and
+    # a tiny single-file corpus otherwise scores every pair in ONE
+    # task. Without the hint AQE was observed to build the FANNED-OUT
+    # side (BuildLeft) and stream the single-partition scan — back to
+    # one task. No-op at scale (fan_out only fires on sub-core-count
+    # scans, and this operator is documented sample/test scale).
+    l = _partitions.fan_out(base).alias("l")
+    r = F.broadcast(base).alias("r")
     if dim:
         terms = " + ".join(f"(l.__e{i} * r.__e{i})" for i in range(1, dim + 1))
         pair_dot = F.expr(f"0.0D + {terms}")
@@ -498,7 +506,10 @@ def embedding_near_duplicates(
     if n_planes is None:
         n_planes = auto_n_planes(df.select(id_col).count())
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    base = df.select(
+    # tiny single-file corpora otherwise run the per-row bucket HOFs
+    # (n_tables x n_planes x dim interpreted ops each) in one task;
+    # no-op at scale
+    base = _partitions.fan_out(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
@@ -683,6 +694,7 @@ def semantic_dedup(
                 T.StructField("__v", corpus.schema[vec_col].dataType, True),
                 T.StructField("__list", T.IntegerType(), True),
                 T.StructField("__ccos", T.DoubleType(), True),
+                T.StructField("__nrm", T.DoubleType(), True),
             ]
         )
 
@@ -692,7 +704,7 @@ def semantic_dedup(
                 if len(v) == 0:
                     yield pd.DataFrame(
                         {"id": pdf["id"], "__v": pdf["__v"],
-                         "__list": [], "__ccos": []}
+                         "__list": [], "__ccos": [], "__nrm": []}
                     )
                     continue
                 nv = np.linalg.norm(v, axis=1)
@@ -707,6 +719,7 @@ def semantic_dedup(
                         "__v": pdf["__v"],
                         "__list": np.where(ok, li, -1).astype("int32"),
                         "__ccos": mx,
+                        "__nrm": nv,
                     }
                 )
 
@@ -720,6 +733,7 @@ def semantic_dedup(
             "id", "__v",
             F.when(F.col("__list") >= 0, F.col("__list")).alias("__list"),
             F.when(F.col("__list") >= 0, F.col("__ccos")).alias("__ccos"),
+            "__nrm",
         )
     else:
         cs = _ccos_array(F.col(vec_col))
@@ -731,6 +745,12 @@ def semantic_dedup(
             # free here, where recomputing it later would rebuild the
             # whole tree
             F.array_max(cs).alias("__ccos"),
+            # row norm captured once at assignment (round 7): the pair
+            # verify divides by it instead of re-deriving BOTH sides'
+            # norms per pair — same expression on the same row, so the
+            # pair cosine is bit-identical, at 1/3 of the per-pair HOF
+            # work
+            l2_norm(F.col(vec_col)).alias("__nrm"),
         )
     # the monster projection feeds the self-join (both sides), the
     # members join, and the final output: persist so it is planned,
@@ -739,6 +759,11 @@ def semantic_dedup(
     # MEMORY_AND_DISK spill at scale)
     asn = asn.persist()
     _cachereg.track("semantic_dedup", asn)
+    # (round 7 note: an explicit repartition(n_lists-capped, __list)
+    # to stop AQE coalescing the pair stage to 1-2 tasks was measured
+    # neutral-to-worse at bench scale — the extra vector-carrying
+    # exchange costs what the parallelism buys. At data sizes where
+    # the pair stage is genuinely big, AQE does not coalesce it.)
     part = asn
     if max_cluster_size is not None:
         rk = F.row_number().over(Window.partitionBy("__list").orderBy("id"))
@@ -746,10 +771,12 @@ def semantic_dedup(
             F.col("__rk") <= max_cluster_size
         ).drop("__rk")
     l = part.select(
-        F.col("id").alias("id_a"), F.col("__v").alias("__va"), "__list"
+        F.col("id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__nrm").alias("__na"), "__list"
     )
     r = part.select(
-        F.col("id").alias("id_b"), F.col("__v").alias("__vb"), "__list"
+        F.col("id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__nrm").alias("__nb"), "__list"
     )
     # Pair verify stays on the compact HOF cosine: the unrolled form
     # was tried twice in round 7 — inlined into the join condition it
@@ -758,10 +785,14 @@ def semantic_dedup(
     # Project it loses whole-stage codegen and evaluates the flat
     # tree interpreted, ~2x slower than the HOF fold. Measured
     # 4.7s -> 8.5s; reverted.
+    pair_denom = F.col("__na") * F.col("__nb")
+    pair_cos = F.when(
+        pair_denom > 0, dot(F.col("__va"), F.col("__vb")) / pair_denom
+    )
     pairs = (
         l.join(r, "__list")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .filter(pair_cos >= threshold)
         .select("id_a", "id_b")
     )
     groups = _dedup.duplicate_clusters(pairs)
