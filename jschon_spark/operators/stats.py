@@ -84,6 +84,9 @@ def numeric_stats(df: DataFrame, columns: list[str]) -> DataFrame:
         aggs.append(F.countDistinct(col).alias(f"nd__{c}"))
         aggs.append(F.min(col).cast("double").alias(f"mn__{c}"))
         aggs.append(F.max(col).cast("double").alias(f"mx__{c}"))
+    # (round 7: fanning the scan out before this aggregate was
+    # measured SLOWER — the repartition shuffles the whole input to
+    # parallelize a partial aggregate that the scan already overlaps)
     wide = df.agg(*aggs)
     pairs = [
         F.struct(

@@ -950,7 +950,7 @@ def _stream_shuffle(spark: SparkSession, partitions: int | None = None):
     import os
 
     if partitions is None:
-        partitions = int(os.environ.get("JSS_STREAM_SHUFFLE_PARTITIONS", "8"))
+        partitions = int(os.environ.get("JSS_STREAM_SHUFFLE_PARTITIONS", "4"))
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
