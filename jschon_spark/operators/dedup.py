@@ -577,24 +577,28 @@ def duplicate_clusters(
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError("on_nonconverged must be 'raise' or 'warn'")
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
-    _cachereg.track("duplicate_clusters_edges", edges)
+    one_way = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
 
     # ONE bounded action decides the gate AND fetches the edges (round
     # 7 — was a limit+count job followed by a separate collect job,
     # each recomputing partitions the limit's short-circuit had
-    # skipped caching): collect at most 2*cap+1 rows (~a few MB at the
+    # skipped caching): collect at most cap+1 rows (~a few MB at the
     # default); if over the gate the probe is discarded and the
-    # distributed loop below runs unchanged.
+    # distributed loop below runs unchanged. The probe reads the
+    # UN-doubled pair relation (union-find is direction-agnostic):
+    # probing the bidirectional union evaluated the whole upstream
+    # pair pipeline TWICE — once per union branch (profiled on
+    # semantic_dedup: two back-to-back single-task verify stages,
+    # ~0.75s each at sf0.1).
     probe = (
-        edges.limit(2 * small_graph_max_edges + 1).collect()
+        one_way.limit(small_graph_max_edges + 1).collect()
         if small_graph_max_edges
         else None
     )
-    if probe is not None and len(probe) <= 2 * small_graph_max_edges:
+    if probe is not None and len(probe) <= small_graph_max_edges:
+        # release any previous distributed-path edge cache; this call
+        # caches nothing
+        _cachereg.track("duplicate_clusters_edges")
         parent: dict = {}
 
         def find(x):
@@ -622,6 +626,13 @@ def duplicate_clusters(
             ]
         )
         return pairs.sparkSession.createDataFrame(rows, out_schema)
+
+    # distributed path only: the bidirectional edge relation the label
+    # propagation iterates over (persisted — read twice per round)
+    edges = one_way.union(
+        one_way.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    _cachereg.track("duplicate_clusters_edges", edges)
 
     labels = (
         edges.select(F.col("a").alias("id")).distinct()

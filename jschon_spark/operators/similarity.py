@@ -125,6 +125,16 @@ def _dot_sql(vec_sql: str, values: list[float]) -> str:
     )
 
 
+def _l2_norm_sql(vec_sql: str) -> str:
+    """SQL text for :func:`l2_norm`'s aggregate form — same
+    transform/aggregate fold, bit-identical."""
+    return (
+        f"sqrt(aggregate(transform({vec_sql}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v))"
+    )
+
+
 def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from fixed random hyperplanes (deterministic).
 
@@ -339,20 +349,64 @@ def ivf_topk_seeded(
     candidates are scored. Output matches brute_force_topk.
     """
     centroids = seeded_centroids(dim, n_lists, seed)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("__cv"),
-        assign_list(vec_col, centroids).alias("__list"),
+    # Two stacked Projects over a FOLDED centroid literal (round 7,
+    # same shape as semantic_dedup's assignment): assign_list's single
+    # expression instantiates the 16-distance array twice
+    # (array_position + array_min) and HOF aggregates evaluate outside
+    # codegen subexpression elimination, so materializing __d once
+    # halves the per-row assignment work; the centroids fold to one
+    # nested-array Literal indexed by a transform(sequence()) loop,
+    # shrinking the plan ~50x (construction + per-task deserialize).
+    # The zip_with fold order matches _sq_dist_sql exactly —
+    # bit-identical distances. fan_out: a tiny single-file corpus
+    # otherwise runs ALL interpreted distance aggregates in one scan
+    # task; no-op at scale.
+    cent_lit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in cent) + ")"
+        for cent in centroids
+    ) + ")"
+    d_sql = (
+        f"transform(sequence(1, {len(centroids)}), i -> "
+        f"aggregate(zip_with(__cv, element_at({cent_lit}, i), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (acc, v) -> acc + v))"
+    )
+    c = (
+        _partitions.fan_out(corpus)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("__cv"),
+        )
+        .select("vec_id", "__cv", F.expr(d_sql).alias("__d"))
+        .select(
+            "vec_id",
+            "__cv",
+            # coalesce(-1) makes __list provably non-nullable, so the
+            # inner join below cannot infer an isnotnull(__list)
+            # pushdown filter — which duplicated the ENTIRE assignment
+            # expression into a Filter under the Project (2x the
+            # interpreted distance work per corpus row; visible in
+            # plans/r07/knn_ivf_before.txt). Equivalent output: NULL
+            # __list (null/ragged vector) never matched a probe list,
+            # and -1 never matches li in [0, n_lists).
+            F.expr(
+                "coalesce(CAST(array_position(__d, array_min(__d)) - 1 "
+                "AS INT), -1)"
+            ).alias("__list"),
+        )
     )
     # per-query probe lists: n_probe nearest centroids, computed with
-    # one F.expr on the (tiny) query relation
+    # one F.expr on the (tiny) query relation — same folded-literal
+    # loop as the corpus assignment (the struct field names/order match
+    # the old inline form, so array_sort's (d, li) ordering and the
+    # distances are bit-identical)
     dists = F.expr(
-        "array("
-        + ", ".join(
-            f"struct({_sq_dist_sql('__qv', cent)} AS d, CAST({li} AS INT) AS li)"
-            for li, cent in enumerate(centroids)
-        )
-        + ")"
+        f"transform(sequence(1, {len(centroids)}), i -> "
+        f"named_struct('d', "
+        f"aggregate(zip_with(__qv, element_at({cent_lit}, i), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (acc, v) -> acc + v), "
+        f"'li', CAST(i - 1 AS INT)))"
     )
     q = (
         queries.select(
@@ -518,18 +572,33 @@ def embedding_near_duplicates(
     base = base.persist()
     _cachereg.track("embedding_near_duplicates", base)
 
+    # One folded 3-level literal ([table][plane][dim]) driven by two
+    # nested loops instead of n_tables x n_planes inlined dot subtrees
+    # (round 7): ConstantFolding collapses the foldable nested array
+    # into a single Literal, cutting plan construction, analysis, and
+    # the per-task deserialization every downstream stage of the
+    # persisted relation pays. Fold orders match lsh_bucket exactly
+    # (left-to-right | over planes, dot()'s zip_with/aggregate) — the
+    # buckets are bit-identical.
+    planes_lit = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
+            for p in planes
+        ) + ")"
+        for planes in tables
+    ) + ")"
+    bucket_sql = (
+        f"aggregate(sequence(1, {len(tables[0])}), 0L, (acc, p) -> acc | "
+        f"shiftleft(CAST(CASE WHEN "
+        f"aggregate(zip_with(v, element_at(element_at({planes_lit}, t), p), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a2, v2) -> a2 + v2) "
+        f">= 0 THEN 1 ELSE 0 END AS BIGINT), p - 1))"
+    )
     hashed = base.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).cast("int").alias("tbl"),
-                        lsh_bucket("v", planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(1, {len(tables)}), t -> "
+            f"named_struct('tbl', CAST(t - 1 AS INT), 'bucket', {bucket_sql})))"
         ).alias("tb"),
     ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     # both sides of the candidate self-join read this; the bucket
@@ -654,22 +723,6 @@ def semantic_dedup(
     # codegen cost of this operator dwarfs its runtime at small n)
     cnorms = [math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids]
 
-    def _ccos_array(vec: Column) -> Column:
-        # HOF dots kept here on purpose: 16 centroid instantiations of
-        # an unrolled 64-term tree (plus 32 copies of the norm subtree)
-        # multiplied ANALYSIS time ~8x when tried in round 7; this
-        # projection is per-row/linear and evaluated once per row via
-        # the persist below, so interpreted evaluation is not the
-        # bottleneck — and at production cluster counts the Arrow GEMM
-        # path replaces it entirely.
-        nv = l2_norm(vec)
-        return F.array(
-            *[
-                F.when(nv > 0, dot(vec, F.lit([float(x) for x in c])) / (nv * F.lit(nc)))
-                for c, nc in zip(centroids, cnorms)
-            ]
-        )
-
     # assignment path: interpreted HOF cosines are fine for a handful
     # of centroids, but at production cluster counts (the paper: 50k
     # lists) the argmax is n_lists x dim interpreted ops per row —
@@ -736,21 +789,64 @@ def semantic_dedup(
             "__nrm",
         )
     else:
-        cs = _ccos_array(F.col(vec_col))
-        asn = corpus.select(
+        # Assignment as ONE loop expression over a FOLDED centroid
+        # literal, staged through THREE stacked Projects (round 7).
+        #
+        # - The old form instantiated 16 separate dot/CASE subtrees and
+        #   referenced the resulting array three times in one Project
+        #   (array_position, its array_max argument, __ccos); HOF
+        #   aggregates evaluate outside codegen subexpression
+        #   elimination, so every row paid the 16-cosine assignment 3x
+        #   (measured 2x wall on the projection alone), and the
+        #   16-subtree expression dominated driver construction and
+        #   task deserialization (every task of every downstream stage
+        #   reading the persisted projection carries its plan).
+        # - Now: centroids fold to a single nested-array Literal
+        #   (ConstantFolding collapses the foldable array(array(...)))
+        #   indexed by a transform(sequence(...)) loop — the whole
+        #   assignment is ~20 expression nodes instead of ~1500, and
+        #   CollapseProject keeps the stacked Projects apart because a
+        #   non-cheap alias referenced more than once is not inlined,
+        #   so __nrm and __cs are each evaluated ONCE per row.
+        # - zip_with/aggregate fold order is exactly dot()/l2_norm()'s,
+        #   so every cosine is bit-identical to the old tree (verified
+        #   0 differing rows on the full sf0.1 projection).
+        vec_sql = f"`{vec_col}`"
+        cent_lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        ) + ")"
+        cnorm_lit = "array(" + ", ".join(f"{float(nc)!r}D" for nc in cnorms) + ")"
+        cs_sql = (
+            f"transform(sequence(1, {len(centroids)}), i -> "
+            f"CASE WHEN __nrm > 0.0D THEN "
+            f"aggregate(zip_with(__v, element_at({cent_lit}, i), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v) "
+            f"/ (__nrm * element_at({cnorm_lit}, i)) END)"
+        )
+        staged = corpus.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("__v"),
-            (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("__list"),
-            # cosine to the ASSIGNED centroid == the argmax value —
-            # free here, where recomputing it later would rebuild the
-            # whole tree
-            F.array_max(cs).alias("__ccos"),
             # row norm captured once at assignment (round 7): the pair
             # verify divides by it instead of re-deriving BOTH sides'
             # norms per pair — same expression on the same row, so the
             # pair cosine is bit-identical, at 1/3 of the per-pair HOF
             # work
-            l2_norm(F.col(vec_col)).alias("__nrm"),
+            F.expr(_l2_norm_sql(vec_sql)).alias("__nrm"),
+        )
+        asn = staged.select(
+            "id", "__v", F.expr(cs_sql).alias("__cs"), "__nrm"
+        ).select(
+            "id",
+            "__v",
+            F.expr(
+                "CAST(array_position(__cs, array_max(__cs)) - 1 AS INT)"
+            ).alias("__list"),
+            # cosine to the ASSIGNED centroid == the argmax value —
+            # free here, where recomputing it later would rebuild the
+            # whole tree
+            F.expr("array_max(__cs)").alias("__ccos"),
+            "__nrm",
         )
     # the monster projection feeds the self-join (both sides), the
     # members join, and the final output: persist so it is planned,
