@@ -1628,6 +1628,17 @@ def curation_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = c4.filter("c4_passed").select(
         "doc_id", F.col("text_clean").alias("text")
     )
+    # the survivor relation feeds the minhash signature build AND the
+    # representative anti-join + downstream sample/cap/pack chain, and
+    # the clustering gate inside dedup_representatives forces an
+    # action before the final output runs — without a persist the
+    # line_dedup frequency pass + rebuild + C4 re-evaluate per action
+    # (round 7; same pattern as the operators' internal persists,
+    # released on the next call via the registry)
+    from jschon_spark.operators import _cachereg
+
+    surv = surv.persist()
+    _cachereg.track("curation_pipeline_surv", surv)
     pairs = dedup.minhash_near_duplicates_portable(surv, "doc_id", "text")
     reps = dedup.dedup_representatives(surv, pairs, "doc_id")
     enriched = reps.join(
