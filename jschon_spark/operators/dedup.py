@@ -799,9 +799,15 @@ def ngram_span_duplicates(
     Output: ``id_col, n_grams, n_dup_grams, dup_fraction`` — one row
     per input document (short docs get ``n_grams = 0, fraction 0.0``).
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+    # _spread: tiny single-file inputs otherwise run the tokenize +
+    # gram-hash pass in ONE scan task (round 7; no-op at scale, and a
+    # round-robin exchange — the audited hashpartitioning count is
+    # unchanged)
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+        )
     )
     tk = base.select(
         "id", fence(tokens(normalized(F.col("__t")))).alias("__tk")

@@ -376,7 +376,26 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
 
     The suffix sets lower to codegen'd ``InSet`` literals — still zero
     shuffle, no broadcast dim needed.
+
+    The five feature Columns are memoized per ``url_col`` (round 7):
+    they are pure functions of the column name and the vendored PSL
+    constants, and building the two ``isin`` literal sets (467 + 14
+    entries) plus the regex tree costs ~0.5s of driver time per call.
+    Columns are immutable expression handles, so reuse across
+    DataFrames is safe — the same compile-once contract as the
+    engine's lowered-Column cache.
     """
+    cols = _URL_FEATURE_COLS.get(url_col)
+    if cols is None:
+        cols = _url_feature_cols(url_col)
+        _URL_FEATURE_COLS[url_col] = cols
+    return df.select("*", *cols)
+
+
+_URL_FEATURE_COLS: dict[str, tuple] = {}
+
+
+def _url_feature_cols(url_col: str) -> tuple:
     from jschon_spark.operators._psl import PSL_2LABEL, PSL_3LABEL
 
     u = F.col(url_col)
@@ -426,8 +445,7 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
-    return df.select(
-        "*",
+    return (
         scheme.alias("scheme"),
         F.when(parse_ok, host).alias("host"),
         F.when(parse_ok, domain).alias("domain"),

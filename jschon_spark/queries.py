@@ -1536,7 +1536,11 @@ def url_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan -> project at any scale. The DuckDB oracle replays every
     regex verbatim (no lookaround, so Java regex and RE2 agree) and
     the SAME PSL suffix sets as SQL IN lists."""
-    docs = load(spark, sf_dir, "documents")
+    # fan_out at the QUERY level: the operator keeps its audited
+    # zero-exchange scan->project contract, but a tiny single-file
+    # scan otherwise runs every per-row regex in ONE task (round 7;
+    # no-op at scale)
+    docs = _partitions.fan_out(load(spark, sf_dir, "documents"))
     did = F.col("doc_id").cast("string")
     planted = docs.select(
         "doc_id",
@@ -1674,7 +1678,8 @@ def blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all as InSet/HOF Column algebra — zero shuffles. keep_blocked=True
     so the row count is planting-stable and the oracle hashes the
     verdict column itself."""
-    docs = load(spark, sf_dir, "documents")
+    # query-level fan_out — same rationale as url_features_docs
+    docs = _partitions.fan_out(load(spark, sf_dir, "documents"))
     did = F.col("doc_id").cast("string")
     planted = docs.select(
         "doc_id",
