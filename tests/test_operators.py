@@ -802,6 +802,43 @@ def test_url_features_hand_computed(spark):
     assert got[6].domain == "localhost"                   # single label
 
 
+def test_url_features_memo_per_column_name(spark):
+    """Round 7: the feature Columns are memoized per url_col — two
+    different column names must not collide in the cache, and a
+    repeated call (cache hit) must produce identical values."""
+    from jschon_spark.operators import webtext
+
+    a = spark.createDataFrame(
+        [(1, "https://www.foo.co.uk/x")], "doc_id long, url string")
+    b = spark.createDataFrame(
+        [(1, "http://bar.example.org:8080/y")], "doc_id long, link string")
+    ra1 = webtext.url_features(a).collect()[0]
+    rb = webtext.url_features(b, "link").collect()[0]
+    ra2 = webtext.url_features(a).collect()[0]  # cache hit
+    assert ra1 == ra2
+    assert (ra1.host, ra1.domain) == ("www.foo.co.uk", "foo.co.uk")
+    assert (rb.host, rb.domain) == ("bar.example.org", "example.org")
+    assert rb.url_canon == "http://bar.example.org:8080/y"
+
+
+def test_duplicate_clusters_gate_boundary(spark):
+    """Round 7: the small-graph gate probes the UN-doubled pair
+    relation with a cap+1 limit. At exactly cap pairs the driver
+    union-find runs; one pair over, the distributed loop runs — both
+    must produce identical clusters."""
+    from jschon_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long")
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+    small = {(r.id, r.cluster_id) for r in dedup.duplicate_clusters(
+        pairs, small_graph_max_edges=4).collect()}
+    dist = {(r.id, r.cluster_id) for r in dedup.duplicate_clusters(
+        pairs, small_graph_max_edges=3).collect()}
+    assert small == want
+    assert dist == want
+
+
 def test_url_features_psl_registrable_domain(spark):
     """Round-6 PSL fix: multi-label public suffixes yield the real
     registrable domain (foo.co.uk, not co.uk); unknown suffixes keep
